@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ...,
+     "scaling": {"local8_sec": ..., "local32_sec": ...,
+                  "efficiency_n_to_4n": ...}}
+
+The scaling block evidences the north rule's N->4N criterion
+in-sandbox: the SAME flagship job at local[8] vs local[32], same
+input; efficiency = (T8 / T32) / 4.
+
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip the two extra sessions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+FLAGSHIP_SCHEMA = {"subject entity": ["related fact"]}
+
+
+def _make_spark(cores: int):
+    from uie_pytorch_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"uie-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(int(cores), 8),
+    )
+
+
+def _flagship_run(spark):
+    """The headline job: multi-stage extraction -> triples count."""
+    from pyspark.sql import functions as F
+
+    from uie_pytorch_spark.engine import UIEConfig, UIEEngine
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eng = UIEEngine(spark, FLAGSHIP_SCHEMA, UIEConfig(lang="en"))
+    spans = eng.extract(docs)
+    triples = UIEEngine.triples(spans)
+    return triples.count()
+
+
+def _timed(fn, *a):
+    t0 = time.monotonic()
+    out = fn(*a)
+    return time.monotonic() - t0, out
+
+
+def main():
+    results = {}
+    spark = _make_spark(int(CPUS))
+
+    # headline 1: flagship extraction pipeline
+    t_flag, n_triples = _timed(_flagship_run, spark)
+    results["uie_flagship_triples"] = round(t_flag, 3)
+
+    # headline 2-6: representative operator queries
+    from uie_pytorch_spark.queries import QUERIES
+
+    bench_queries = [
+        "agg_pricing_summary",
+        "join_broadcast_dims",
+        "double_dim_join",
+        "minhash_signature",
+        "lsh_candidate_pairs",
+        "simhash_fingerprint",
+        "doc_fingerprint",
+        "embedding_near_dup",
+        "window_cumulative_offset",
+        "canonicalize_surface_forms",
+    ]
+    for name in bench_queries:
+        t, _ = _timed(lambda: QUERIES[name](spark, SF_DIR).count())
+        results[name] = round(t, 3)
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "uie_kg_pipeline_and_operators_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / t_flag, 2) if t_flag else None,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        spark.stop()
+        t8 = t32 = None
+        for cores in (8, 32):
+            s = _make_spark(cores)
+            t, _ = _timed(_flagship_run, s)
+            if cores == 8:
+                t8 = t
+            else:
+                t32 = t
+            s.stop()
+        out["scaling"] = {
+            "local8_sec": round(t8, 3),
+            "local32_sec": round(t32, 3),
+            "speedup": round(t8 / t32, 3),
+            "efficiency_n_to_4n": round((t8 / t32) / 4, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

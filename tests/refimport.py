@@ -8,6 +8,7 @@ map_offset, unify_prompt_name, SpanEvaluator) are pure Python/NumPy.
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -17,6 +18,10 @@ REFERENCE_DIR = "/root/reference"
 
 def _stub_module(name: str, **attrs) -> types.ModuleType:
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec(name) works —
+    # pyspark.testing probes find_spec("torch") and chokes on
+    # __spec__ = None (ValueError)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules.setdefault(name, mod)

@@ -1,0 +1,74 @@
+"""KG-layer tests: canonicalization tiers + connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uie_pytorch_spark.kg import canonicalize as C
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame(
+        [(1, "  Acme　Corp "), (2, "ＡＣＭＥ  corp"), (3, "acme corp")],
+        "mention_id: long, surface: string",
+    )
+    got = {
+        r["mention_id"]: r["n"]
+        for r in df.select(
+            "mention_id", C.normalize_surface(F.col("surface")).alias("n")
+        ).collect()
+    }
+    # full-width letters and U+3000 fold, whitespace collapses+trims
+    assert got[1] == "acme corp"
+    assert got[2] == "acme corp"
+    assert got[3] == "acme corp"
+
+
+def test_exact_canonical_salted(spark):
+    rows = [(i, "Beijing") for i in range(50)] + [(100, "shanghai")]
+    df = spark.createDataFrame(rows, "mention_id: long, surface: string")
+    got = {
+        r["surface_norm"]: r["canonical_id"]
+        for r in C.exact_canonical(df).collect()
+    }
+    assert got == {"beijing": 0, "shanghai": 100}
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (21, 20)],
+        "src: long, dst: long",
+    )
+    comp = {r["id"]: r["component"] for r in C.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+    # different components are distinct
+    assert len({comp[1], comp[10], comp[20]}) == 3
+
+
+def test_connected_components_chain(spark):
+    # long path graph — exercises multiple propagation rounds
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 100 + n)], "src: long, dst: long"
+    )
+    comp = {r["id"]: r["component"] for r in C.connected_components(edges).collect()}
+    assert set(comp.values()) == {100}
+    assert len(comp) == n + 1
+
+
+def test_canonicalize_mentions_near_dupes(spark):
+    rows = [
+        (1, "中国中文信息学会"),
+        (2, "中国中文信息学会。"),      # near-dup (punct tail)
+        (3, "ＡＣＭＥ Corporation"),
+        (4, "acme corporation"),        # exact after normalize
+        (5, "totally different entity"),
+    ]
+    df = spark.createDataFrame(rows, "mention_id: long, surface: string")
+    got = C.canonicalize_mentions(df, jaccard_threshold=0.5)
+    by_mention = {r["mention_id"]: r["canonical_surface_id"] for r in got.collect()}
+    assert by_mention[1] == by_mention[2]
+    assert by_mention[3] == by_mention[4]
+    assert by_mention[5] not in (by_mention[1], by_mention[3])

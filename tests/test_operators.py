@@ -1,0 +1,184 @@
+"""Operator-level tests: annotations pipeline, multimodal plumbing,
+metrics, dedup behaviors not covered by the oracle harness."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from uie_pytorch_spark.operators import dedup as D
+from uie_pytorch_spark.operators import metrics as M
+from uie_pytorch_spark.operators import multimodal as MM
+from uie_pytorch_spark.sources import annotations as A
+
+DOCCANO_ROWS = [
+    {
+        "id": 38,
+        "text": "《告别了》是孙耀威在专辑爱的故事里面的歌曲",
+        "entities": [
+            {"id": 51, "start_offset": 1, "end_offset": 4, "label": "作品名"},
+            {"id": 52, "start_offset": 6, "end_offset": 9, "label": "人物名"},
+        ],
+        "relations": [{"id": 20, "from_id": 51, "to_id": 52, "type": "歌手"}],
+    },
+    {
+        "id": 39,
+        "text": "地震发生在昨天晚上",
+        "entities": [
+            {"id": 60, "start_offset": 0, "end_offset": 2, "label": "触发词"}
+        ],
+        "relations": [],
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def doccano_df(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("doccano") / "ext.jsonl"
+    p.write_text(
+        "\n".join(json.dumps(r, ensure_ascii=False) for r in DOCCANO_ROWS),
+        encoding="utf-8",
+    )
+    return A.read_doccano(spark, str(p))
+
+
+def test_entity_examples(doccano_df):
+    rows = {
+        (r["doc_id"], r["prompt"], r["result"]["text"], r["result"]["start"])
+        for r in A.entity_examples(doccano_df).collect()
+    }
+    assert (38, "作品名", "告别了", 1) in rows
+    assert (38, "人物名", "孙耀威", 6) in rows
+    assert (39, "触发词", "地震", 0) in rows
+
+
+def test_relation_examples_double_join(doccano_df):
+    rows = A.relation_examples(doccano_df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["prompt"] == "告别了的歌手"
+    assert r["result"]["text"] == "孙耀威"
+    assert (r["result"]["start"], r["result"]["end"]) == (6, 9)
+
+
+def test_entity_negatives_capped_and_absent(doccano_df):
+    negs = A.entity_negatives(doccano_df, negative_ratio=5).collect()
+    # negatives only use labels absent from the doc
+    for r in negs:
+        if r["doc_id"] == 38:
+            assert r["prompt"] == "触发词"
+        if r["doc_id"] == 39:
+            assert r["prompt"] in ("作品名", "人物名")
+    assert all(r["result"] is None for r in negs)
+
+
+def test_relation_full_negatives(doccano_df):
+    negs = {
+        (r["doc_id"], r["prompt"])
+        for r in A.relation_full_negatives(doccano_df).collect()
+    }
+    # subject x predicate universe minus the one positive
+    assert (38, "孙耀威的歌手") in negs
+    assert (38, "告别了的歌手") not in negs
+
+
+def test_labelstudio_conversion(spark, tmp_path):
+    export = [
+        {
+            "id": 1,
+            "data": {"text": "Alice joined Acme."},
+            "annotations": [
+                {
+                    "result": [
+                        {
+                            "value": {
+                                "start": 0,
+                                "end": 5,
+                                "labels": ["Person"],
+                            }
+                        },
+                        {
+                            "value": {
+                                "start": 13,
+                                "end": 17,
+                                "labels": ["Org"],
+                            }
+                        },
+                    ]
+                }
+            ],
+        }
+    ]
+    p = tmp_path / "ls.json"
+    p.write_text(json.dumps(export), encoding="utf-8")
+    got = A.labelstudio_to_doccano(spark, str(p)).collect()
+    assert len(got) == 1
+    ents = sorted(
+        (e["start_offset"], e["end_offset"], e["label"])
+        for e in got[0]["entities"]
+    )
+    assert ents == [(0, 5, "Person"), (13, 17, "Org")]
+
+
+def test_span_prf(spark):
+    pred = spark.createDataFrame(
+        [(1, "p", 0, 2), (1, "p", 5, 9), (2, "p", 1, 3)],
+        "doc_id: long, prompt: string, start: long, end: long",
+    )
+    gold = spark.createDataFrame(
+        [(1, "p", 0, 2), (2, "p", 4, 6)],
+        "doc_id: long, prompt: string, start: long, end: long",
+    )
+    r = M.span_prf(pred, gold).collect()[0]
+    assert (r["num_correct"], r["num_infer"], r["num_label"]) == (1, 3, 2)
+    assert r["precision"] == pytest.approx(1 / 3)
+    assert r["recall"] == pytest.approx(1 / 2)
+    assert r["f1"] == pytest.approx(2 * (1 / 3) * 0.5 / (1 / 3 + 0.5))
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", bytes(range(200)), (10, 10, None, "image/png")),
+        (2, "video", b"\x05" * 64, (None, None, 3500, "video/mp4")),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 200
+    assert len(feats[1]["feature"]) == 16
+    # deterministic stub
+    feats2 = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+    # frame sampling plan from metadata only (no decode)
+    plan = MM.frame_sample_plan(media, every_ms=1000).collect()
+    assert sorted(r["frame_ts"] for r in plan) == [0, 1000, 2000, 3000]
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id: long, text: string",
+    )
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["canonical_doc_id"] == 1
+
+
+def test_minhash_lsh_groups_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra tail!"),     # near-dup
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id: long, text: string",
+    )
+    sig = D.minhash_signature(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(sig).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

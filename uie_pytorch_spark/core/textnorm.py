@@ -72,10 +72,20 @@ def chunk_with_offsets(text: str, max_text_len: int) -> List[Tuple[int, str, int
     return [(i, c, i * max_text_len) for i, c in enumerate(chunks)]
 
 
+MIN_PREDICT_WINDOW = 64
+
+
 def max_predict_len(prompts: List[str], max_seq_len: int) -> int:
     """Reference quirk (uie_predictor.py:418): the window size deducts
     the length of the LEXICOGRAPHICALLY largest prompt (``max(...)`` on
     strings), not the longest prompt. Replicated for parity; Spark-side
     this is ``F.max(prompt)`` (also lexicographic) collected to the
-    driver."""
-    return max_seq_len - len(max(prompts)) - 3
+    driver.
+
+    Deviation (symmetric oracle+engine): when a prompt approaches
+    max_seq_len the reference's char-window arithmetic degenerates
+    (negative window -> empty/deranged chunk lists,
+    uie_predictor.py:393-403). We clamp the window to
+    MIN_PREDICT_WINDOW; over-long (prompt, chunk) pairs then get their
+    text tail truncated identically on both sides by the tokenizer."""
+    return max(max_seq_len - len(max(prompts)) - 3, MIN_PREDICT_WINDOW)

@@ -1,0 +1,468 @@
+"""Distributed multi-stage UIE extraction engine.
+
+Re-expresses the reference's eager BFS dataflow
+(/root/reference/uie_predictor.py:212-329) as a driver-side loop over
+schema-tree nodes, where each node stage is pure DataFrame algebra
+around ONE Arrow-vectorized inference UDF:
+
+    examples --(native chunk explode)--> chunks
+            --(distinct (prompt, chunk))--> unique model inputs
+            --(mapInPandas: tokenize+forward+decode)--> span records
+            --(join back, shift by chunk offset)--> span results
+            --(groupBy vote for classification items)--> cls results
+            --(prompt-expansion join)--> next stage's examples
+
+Design notes for 100 TB scale:
+  * Inference is the dominant cost; identical (prompt, chunk) pairs
+    are deduplicated BEFORE the UDF (web corpora repeat boilerplate),
+    keyed by xxhash64 — results join back to all owners.
+  * The only shuffles per stage are the dedup distinct, the join back
+    (AQE decides broadcast vs shuffle; the unique-inputs side is
+    usually far smaller), and a tiny groupBy for classification votes.
+    Span results never need a groupBy — offsets are computed from the
+    chunk index natively.
+  * Only (prompt, chunk_text, key) columns enter Python; document
+    blobs (html) never cross the Arrow boundary (column pruning).
+  * Every stage output carries its parent span's identity columns, so
+    (subj, pred, obj) triples materialize as plain projections — no
+    nested structures are ever shuffled.
+  * Deterministic everywhere: example ids are content hashes, vote
+    sums are computed in chunk order via sort_array + aggregate, and
+    the model is bitwise batch-invariant — so results are identical
+    across retries, partitionings, and parallelism levels (the
+    checkpoint/resume layer in kg/lineage.py depends on this).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .core.textnorm import DBC_FROM, DBC_TO, dbc2sbc
+from .schema import SchemaNode, build_tree
+
+_INFER_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("rtext", T.StringType()),
+        T.StructField("rstart", T.LongType()),
+        T.StructField("rend", T.LongType()),
+        T.StructField("prob", T.DoubleType()),
+        T.StructField("is_cls", T.BooleanType()),
+    ]
+)
+
+RESULT_COLS = [
+    "doc_id",
+    "ex_id",
+    "node_path",
+    "node_name",
+    "text",
+    "start",
+    "end",
+    "prob",
+    "is_cls",
+    "parent_path",
+    "parent_text",
+    "parent_start",
+    "parent_end",
+    "parent_prob",
+]
+
+
+def _dbc2sbc_col(col: Column) -> Column:
+    """Full-width -> half-width on a column; same mapping table as
+    core.textnorm.dbc2sbc (reference utils.py:573-585 incl. the dead
+    U+3000 branch)."""
+    return F.translate(col, DBC_FROM, DBC_TO)
+
+
+def _make_infer_udf(seed: int, max_seq_len: int, position_prob: float):
+    """mapInPandas kernel: unique (key, prompt, chunk_text) rows in,
+    one row per decoded span record out. The model is a per-worker
+    lazy singleton (reference loads weights once per process,
+    uie_predictor.py:153-158)."""
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # late imports: run inside the executor Python worker
+        from uie_pytorch_spark.core.infer import infer_decode_batch
+        from uie_pytorch_spark.core.model import get_model
+
+        model = get_model(seed)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            records = infer_decode_batch(
+                model,
+                pdf["prompt"].tolist(),
+                pdf["chunk_text"].tolist(),
+                max_seq_len=max_seq_len,
+                position_prob=position_prob,
+            )
+            keys, ords, texts, starts, ends, probs, clss = [], [], [], [], [], [], []
+            for key, recs in zip(pdf["key"].tolist(), records):
+                for r in recs:
+                    keys.append(key)
+                    ords.append(r["ord"])
+                    texts.append(r["text"])
+                    starts.append(r["start"])
+                    ends.append(r["end"])
+                    probs.append(r["prob"])
+                    clss.append(r["is_cls"])
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="int64"),
+                    "ord": pd.Series(ords, dtype="int32"),
+                    "rtext": pd.Series(texts, dtype="object"),
+                    "rstart": pd.array(starts, dtype="Int64"),
+                    "rend": pd.array(ends, dtype="Int64"),
+                    "prob": pd.Series(probs, dtype="float64"),
+                    "is_cls": pd.Series(clss, dtype="bool"),
+                }
+            )
+
+    return infer
+
+
+@dataclass
+class UIEConfig:
+    seed: int = 20240816
+    max_seq_len: int = 512
+    position_prob: float = 0.5
+    lang: str = "zh"
+    split_sentence: bool = False
+    dedupe_inference: bool = True
+    # partitions for the inference stage; None -> leave to AQE
+    infer_partitions: Optional[int] = None
+
+
+class UIEEngine:
+    """Schema-driven distributed extraction.
+
+    ``extract(docs)`` takes a DataFrame with (doc_id: long,
+    text: string) and returns a flat span table covering every schema
+    node, from which ``triples()`` / ``entities()`` are projections.
+    """
+
+    def __init__(self, spark: SparkSession, schema, config: UIEConfig | None = None):
+        self.spark = spark
+        self.config = config or UIEConfig()
+        self.tree = build_tree(schema)
+        self._infer_udf = _make_infer_udf(
+            self.config.seed, self.config.max_seq_len, self.config.position_prob
+        )
+
+    # ---------- public API ----------
+
+    def extract(self, docs: DataFrame) -> DataFrame:
+        """All spans for all schema nodes; see RESULT_COLS."""
+        docs = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        all_results: List[DataFrame] = []
+        cached: List[DataFrame] = []
+        # frontier: node -> result DF of that node's stage
+        queue: List[tuple] = [(c, None) for c in self.tree.children]
+        while queue:
+            node, parent_results = queue.pop(0)
+            examples = self._build_examples(node, docs, parent_results)
+            results = self._run_stage(node, examples)
+            if node.children:
+                results = results.persist()
+                cached.append(results)
+            all_results.append(results)
+            for child in node.children:
+                queue.append((child, results))
+        out = all_results[0]
+        for df in all_results[1:]:
+            out = out.unionByName(df)
+        return out
+
+    @staticmethod
+    def triples(spans: DataFrame) -> DataFrame:
+        """(subj, pred, obj) edge projection — every parent->child
+        stage edge (the KG-native output; FIXTURES.md §3)."""
+        return spans.filter(F.col("parent_path").isNotNull()).select(
+            "doc_id",
+            F.col("parent_text").alias("subj_text"),
+            F.col("parent_start").alias("subj_start"),
+            F.col("parent_end").alias("subj_end"),
+            F.col("node_name").alias("pred"),
+            F.col("text").alias("obj_text"),
+            F.col("start").alias("obj_start"),
+            F.col("end").alias("obj_end"),
+            F.col("parent_prob").alias("subj_prob"),
+            F.col("prob").alias("obj_prob"),
+        )
+
+    @staticmethod
+    def entities(spans: DataFrame) -> DataFrame:
+        return spans.filter(F.col("parent_path").isNull()).select(
+            "doc_id", "node_name", "text", "start", "end", "prob"
+        )
+
+    # ---------- stage construction ----------
+
+    def _child_prompt_col(self, node: SchemaNode) -> Column:
+        parent_text = F.col("text")
+        if self.config.lang == "en":
+            prefix, suffix = node.en_prompt_parts()
+            if suffix:
+                raw = F.concat(F.lit(prefix + " of "), parent_text, F.lit(suffix))
+            else:
+                raw = F.concat(F.lit(node.name + " of "), parent_text)
+        else:
+            raw = F.concat(parent_text, F.lit("的" + node.name))
+        return _dbc2sbc_col(raw)
+
+    def _build_examples(
+        self, node: SchemaNode, docs: DataFrame, parent_results: Optional[DataFrame]
+    ) -> DataFrame:
+        """examples: (doc_id, ex_id, prompt, text, parent_*)."""
+        if parent_results is None:
+            return docs.select(
+                "doc_id",
+                F.xxhash64(F.lit(node.path), F.col("doc_id")).alias("ex_id"),
+                F.lit(dbc2sbc(node.name)).alias("prompt"),
+                "text",
+                F.lit(None).cast("string").alias("parent_path"),
+                F.lit(None).cast("string").alias("parent_text"),
+                F.lit(None).cast("long").alias("parent_start"),
+                F.lit(None).cast("long").alias("parent_end"),
+                F.lit(None).cast("double").alias("parent_prob"),
+            )
+        # one example per parent span (prompt-expansion join, the
+        # subject->predicate step; reference uie_predictor.py:315-328).
+        # Parent results join back to docs to recover the full text —
+        # results deliberately don't carry the text column around.
+        parents = parent_results.select(
+            "doc_id",
+            F.col("ex_id").alias("parent_ex"),
+            F.col("node_path").alias("parent_path"),
+            F.col("text").alias("parent_text"),
+            F.col("start").alias("parent_start"),
+            F.col("end").alias("parent_end"),
+            F.col("prob").alias("parent_prob"),
+            self._child_prompt_col(node).alias("prompt"),
+        )
+        return parents.join(docs, "doc_id").select(
+            "doc_id",
+            F.xxhash64(
+                F.col("parent_ex"),
+                F.lit(node.path),
+                F.col("parent_text"),
+                F.coalesce(F.col("parent_start"), F.lit(-1)),
+                F.coalesce(F.col("parent_end"), F.lit(-1)),
+            ).alias("ex_id"),
+            "prompt",
+            "text",
+            "parent_path",
+            "parent_text",
+            "parent_start",
+            "parent_end",
+            "parent_prob",
+        )
+
+    def _max_predict_len(self, examples: DataFrame) -> int:
+        """Reference quirk (uie_predictor.py:418): subtract the length
+        of the LEXICOGRAPHICALLY max prompt. Spark's max() on strings
+        is binary-collation UTF-8 order == Python code-point order."""
+        from .core.textnorm import max_predict_len
+
+        row = examples.agg(F.max("prompt").alias("m")).collect()[0]
+        if row["m"] is None:
+            return self.config.max_seq_len - 3
+        return max_predict_len([row["m"]], self.config.max_seq_len)
+
+    def _chunk(self, examples: DataFrame, mpl: int) -> DataFrame:
+        """Native chunk explode. Fixed windows: chunk k covers chars
+        [k*mpl, (k+1)*mpl); its char offset is exactly k*mpl
+        (uie_predictor.py:364-409, 551-565). Sentence mode replays the
+        reference regex chain then windows each sentence; offsets are
+        a running sum of chunk lengths."""
+        if not self.config.split_sentence:
+            n = F.when(F.length("text") <= mpl, F.lit(1)).otherwise(
+                F.ceil(F.length("text") / F.lit(mpl))
+            )
+            chunks = examples.select(
+                "*",
+                F.posexplode(F.sequence(F.lit(0), n - 1)).alias("pos", "_i"),
+            )
+            return chunks.select(
+                "*",
+                F.substring(
+                    F.col("text"), F.col("pos") * mpl + 1, mpl
+                ).alias("chunk_text"),
+                (F.col("pos").cast("long") * mpl).alias("chunk_off"),
+            ).drop("_i")
+        # sentence split: identical regex chain to utils.py:560-570
+        sent = examples.withColumn(
+            "_para",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("text"), r"([。！？\?])([^”’])", "$1\n$2"
+                        ),
+                        r"(\.{6})([^”’])",
+                        "$1\n$2",
+                    ),
+                    r"(\…{2})([^”’])",
+                    "$1\n$2",
+                ),
+                r"([。！？\?][”’])([^，。！？\?])",
+                "$1\n$2",
+            ),
+        ).withColumn("_para", F.regexp_replace("_para", r"(?U)\s+$", ""))
+        sent = sent.select(
+            "*", F.posexplode(F.split("_para", "\n")).alias("sent_idx", "sent")
+        ).drop("_para")
+        n = F.when(F.length("sent") <= mpl, F.lit(1)).otherwise(
+            F.ceil(F.length("sent") / F.lit(mpl))
+        )
+        chunks = sent.select(
+            "*", F.posexplode(F.sequence(F.lit(0), n - 1)).alias("win_idx", "_i")
+        ).drop("_i")
+        chunks = chunks.withColumn(
+            "chunk_text", F.substring(F.col("sent"), F.col("win_idx") * mpl + 1, mpl)
+        )
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("ex_id")
+            .orderBy("sent_idx", "win_idx")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        chunks = chunks.withColumn(
+            "chunk_off",
+            F.coalesce(F.sum(F.length("chunk_text")).over(w), F.lit(0)).cast("long"),
+        )
+        w2 = Window.partitionBy("ex_id").orderBy("sent_idx", "win_idx")
+        return chunks.withColumn(
+            "pos", F.row_number().over(w2) - 1
+        ).drop("sent", "sent_idx", "win_idx")
+
+    def _run_stage(self, node: SchemaNode, examples: DataFrame) -> DataFrame:
+        mpl = self._max_predict_len(examples)
+        chunks = self._chunk(examples, mpl).withColumn(
+            "key", F.xxhash64("prompt", "chunk_text")
+        )
+
+        infer_in = chunks.select("key", "prompt", "chunk_text")
+        if self.config.dedupe_inference:
+            infer_in = infer_in.dropDuplicates(["key"])
+        # ALWAYS repartition before the model UDF: the inference stage
+        # is compute-bound, not size-bound — AQE's size-based
+        # coalescing would shrink the tiny post-distinct shuffle to 1
+        # partition and serialize all model work on one core.
+        n_parts = self.config.infer_partitions or (
+            self.spark.sparkContext.defaultParallelism * 2
+        )
+        infer_in = infer_in.repartition(n_parts, "key")
+        records = infer_in.mapInPandas(self._infer_udf, schema=_INFER_SCHEMA)
+
+        joined = chunks.drop("prompt", "chunk_text", "text").join(records, "key")
+
+        span_rows = joined.filter(~F.col("is_cls")).select(
+            "doc_id",
+            "ex_id",
+            F.lit(node.path).alias("node_path"),
+            F.lit(node.name).alias("node_name"),
+            F.col("rtext").alias("text"),
+            (F.col("rstart") + F.col("chunk_off")).alias("start"),
+            (F.col("rend") + F.col("chunk_off")).alias("end"),
+            "prob",
+            F.col("is_cls"),
+            "parent_path",
+            "parent_text",
+            "parent_start",
+            "parent_end",
+            "parent_prob",
+        )
+
+        # classification vote (uie_predictor.py:529-550): per chunk
+        # only the FIRST cls record counts; per example the winner is
+        # max by (count, prob sum), ties -> earliest chunk; reported
+        # probability is the mean. Sums run in chunk order (in-order
+        # fold) for bitwise determinism.
+        cls_first = (
+            joined.filter(F.col("is_cls"))
+            .groupBy("doc_id", "ex_id", "pos")
+            .agg(
+                F.min_by(
+                    F.struct("rtext", "prob"), F.col("ord")
+                ).alias("first_rec"),
+                F.first("parent_path", ignorenulls=False).alias("parent_path"),
+                F.first("parent_text").alias("parent_text"),
+                F.first("parent_start").alias("parent_start"),
+                F.first("parent_end").alias("parent_end"),
+                F.first("parent_prob").alias("parent_prob"),
+            )
+            .select(
+                "doc_id",
+                "ex_id",
+                "pos",
+                F.col("first_rec.rtext").alias("rtext"),
+                F.col("first_rec.prob").alias("prob"),
+                "parent_path",
+                "parent_text",
+                "parent_start",
+                "parent_end",
+                "parent_prob",
+            )
+        )
+        per_option = cls_first.groupBy("doc_id", "ex_id", "rtext").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "prob"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["prob"],
+            ).alias("sum_prob"),
+            F.min("pos").alias("first_pos"),
+            F.first("parent_path").alias("parent_path"),
+            F.first("parent_text").alias("parent_text"),
+            F.first("parent_start").alias("parent_start"),
+            F.first("parent_end").alias("parent_end"),
+            F.first("parent_prob").alias("parent_prob"),
+        )
+        cls_rows = (
+            per_option.groupBy("doc_id", "ex_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "rtext", "cnt", "sum_prob",
+                        "parent_path", "parent_text", "parent_start",
+                        "parent_end", "parent_prob",
+                    ),
+                    F.struct(
+                        F.col("cnt"), F.col("sum_prob"), (-F.col("first_pos"))
+                    ),
+                ).alias("w")
+            )
+            .select(
+                "doc_id",
+                "ex_id",
+                F.lit(node.path).alias("node_path"),
+                F.lit(node.name).alias("node_name"),
+                F.col("w.rtext").alias("text"),
+                F.lit(None).cast("long").alias("start"),
+                F.lit(None).cast("long").alias("end"),
+                (F.col("w.sum_prob") / F.col("w.cnt")).alias("prob"),
+                F.lit(True).alias("is_cls"),
+                F.col("w.parent_path").alias("parent_path"),
+                F.col("w.parent_text").alias("parent_text"),
+                F.col("w.parent_start").alias("parent_start"),
+                F.col("w.parent_end").alias("parent_end"),
+                F.col("w.parent_prob").alias("parent_prob"),
+            )
+        )
+        return span_rows.select(RESULT_COLS).unionByName(
+            cls_rows.select(RESULT_COLS)
+        )

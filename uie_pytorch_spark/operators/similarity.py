@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * brute-force top-k / near-dup over EXACT DECIMAL dot products —
+    decimal arithmetic is associative, so results are bitwise
+    identical across Spark partitionings AND across engines (the
+    DuckDB oracle computes the same decimals). This is the
+    correctness baseline.
+  * float fast path (zip_with dot product, native codegen) for
+    benchmarking, plus an LSH-bucketed variant (sign-random-
+    projection by deterministic hash planes) as the 100 TB scale
+    path: candidates meet in buckets, exact rerank within bucket.
+
+Near-dup by cosine >= tau is expressed without sqrt:
+    dot > 0  AND  dot^2 >= tau^2 * |a|^2 * |b|^2
+which stays in exact decimal arithmetic end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(9,6)"
+
+
+def _pairs_with_dot(emb: DataFrame, dim_limit: int | None = None) -> DataFrame:
+    """All (a < b) pairs with exact decimal dot product and squared
+    norms. Oracle/test path (O(n^2) — production uses lsh_buckets)."""
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("xd", F.col("x").cast(DEC))
+    norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("xd") * F.col("xd")).alias("norm2")
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(F.col("a.xd") * F.col("b.xd")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("norm2", "norm2_a"), "vec_a")
+        .join(norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("norm2", "norm2_b"), "vec_b")
+    )
+
+
+def cosine_near_dup(emb: DataFrame, tau: float = 0.95) -> DataFrame:
+    """Pairs with cosine >= tau, decided in exact decimal arithmetic."""
+    p = _pairs_with_dot(emb).select(
+        "vec_a",
+        "vec_b",
+        F.col("dot").cast("double").alias("dotd"),
+        F.col("norm2_a").cast("double").alias("n2a"),
+        F.col("norm2_b").cast("double").alias("n2b"),
+    )
+    return p.filter(
+        F.col("dotd") / F.sqrt(F.col("n2a") * F.col("n2b")) >= tau
+    ).select("vec_a", "vec_b")
+
+
+def topk_by_dot(emb: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
+    """Exact top-k neighbors by decimal dot product for the given
+    query vec_ids; ties broken by neighbor id (deterministic)."""
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
+        "xd", F.col("x").cast(DEC)
+    )
+    q = flat.join(queries, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "i", F.col("xd").alias("qx")
+    )
+    dots = (
+        q.join(flat, "i")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qx") * F.col("xd")).cast("double").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_topk_float(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Float fast path: native zip_with/aggregate dot product + norms.
+    No oracle (float summation order is engine-specific); used by
+    bench and as the brute-force ANN baseline."""
+    qv = queries.join(emb, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = qv.crossJoin(emb.select("vec_id", "embedding")).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(F.aggregate(F.transform("qe", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    nv = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (nq * nv)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def srp_buckets(emb: DataFrame, planes: int = 8, seed: int = 11) -> DataFrame:
+    """Sign-random-projection LSH bucket per vector: bit p of the
+    bucket id is the sign of dot(v, plane_p), where plane components
+    are deterministic +-1 derived from xxhash64(seed, p, i). The 100 TB
+    ANN path: bucket-join then exact rerank inside buckets."""
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    p = flat.select(
+        "vec_id",
+        "x",
+        "i",
+        F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane"),
+    ).withColumn(
+        "sign",
+        F.when(
+            F.pmod(F.xxhash64(F.lit(seed), F.col("plane"), F.col("i")), 2) == 0, 1.0
+        ).otherwise(-1.0),
+    )
+    proj = p.groupBy("vec_id", "plane").agg(
+        F.sum(F.col("x") * F.col("sign")).alias("proj")
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("proj") > 0,
+                F.shiftleft(F.lit(1).cast("long"), F.col("plane").cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language ID, quality scoring, token counting, document fingerprinting.
+All native Spark expressions (whole-stage codegen; no Python UDFs) and
+all value-checkable against a DuckDB oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60
+
+# CJK unified ideographs (the dominant block; heuristic langid)
+CJK_RE = r"[一-鿿]"
+# latin letters
+LATIN_RE = r"[A-Za-z]"
+TOKEN_RE = r"[\S]+"
+STOPWORDS = ("the", "of", "and", "to", "a", "in", "is", "it", "that", "for")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free char-class heuristic: a document is 'zh' when >30%
+    of its characters are CJK ideographs, else 'en' when >30% latin,
+    else 'other'. (The reference has no langid; this is the
+    training-pipeline addition the north rule's corpus prep needs.)"""
+    t = F.col(text_col)
+    n = F.length(t)
+    cjk = n - F.length(F.regexp_replace(t, CJK_RE, ""))
+    latin = n - F.length(F.regexp_replace(t, LATIN_RE, ""))
+    pred = (
+        F.when(n == 0, F.lit("other"))
+        .when(cjk / n > 0.3, F.lit("zh"))
+        .when(latin / n > 0.3, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    return docs.select(
+        "doc_id",
+        (cjk.cast("double") / F.greatest(n, F.lit(1))).alias("cjk_ratio"),
+        (latin.cast("double") / F.greatest(n, F.lit(1))).alias("latin_ratio"),
+        pred.alias("pred_lang"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (word-chunks of <=4 chars, the common len(text)/4 heuristic) +
+    char count."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("ws_tokens"),
+        F.ceil(F.length(t) / 4).cast("long").alias("subword_est"),
+        F.length(t).alias("n_chars_computed"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score: length band,
+    punctuation ratio, stopword ratio, mean word length. Deterministic
+    arithmetic only."""
+    t = F.col(text_col)
+    n = F.length(t)
+    words = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z]+"), 0)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct = n - F.length(F.regexp_replace(t, r"[\.,;:!\?。！？，；：]", ""))
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = punct.cast("double") / F.greatest(n, F.lit(1))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    score = (
+        F.when((n >= 50) & (n <= 2000), 0.4).otherwise(0.0)
+        + F.when((punct_ratio > 0.005) & (punct_ratio < 0.2), 0.3).otherwise(0.0)
+        + F.when(stop_ratio > 0.05, 0.3).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-independent 60-bit document fingerprint: bit_xor of the
+    md5-derived hashes of the document's distinct whitespace tokens.
+    (xor-agg is reorder-safe, so it is shuffle/partitioning-invariant
+    at any scale — unlike a polynomial rolling hash.)"""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))).alias("tok"),
+    )
+    return (
+        toks.withColumn("h", h60(F.col("tok")))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("bit_xor(h)").alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )

@@ -1,0 +1,738 @@
+"""Named queries over the driver test tables — one per implemented
+operator family from SURVEY.md §2 plus the training-data-pipeline
+additions (dedup / similarity / text analysis). Each has a matching
+ANSI-SQL oracle in ORACLE_SQL consumed by __spark_entry__.py.
+
+Conventions for oracle-hash stability:
+  * every computed column is aliased identically in Spark and SQL;
+  * cross-engine hashes via operators.hashing.h60 (md5-derived);
+  * decimal-exact arithmetic for float-derived comparisons, cast to
+    double only in the final projection;
+  * aggregates cast to bigint/double explicitly on the DuckDB side
+    (DuckDB sum(int) widens to int128 otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core.textnorm import DBC_FROM, DBC_TO
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .operators import textstats as TS
+from .operators.hashing import h60, h60_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# relational core (SURVEY §2.2-2.7 operator families on TPC-H tables)
+# =====================================================================
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+           CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """Baseline shuffle agg with map-side combine (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    """
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.o_totalprice) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Fact-to-dims star join; dims broadcast (no shuffle of orders
+    beyond the final agg)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "window_cumulative_offset",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(COALESCE(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           AS cum_before
+    FROM orders
+    """,
+)
+def window_cumulative_offset(spark, sf_dir):
+    """W1/A1: the chunk-offset pattern — running sum over everything
+    BEFORE the current row (rowsBetween(unboundedPreceding, -1))."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.sum("o_totalprice").over(w), F.lit(0)).cast("double").alias("cum_before"),
+    )
+
+
+@query(
+    "vote_max_by",
+    """
+    WITH per_option AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(value) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY cnt DESC, sum_value DESC, event_type DESC) AS rn
+      FROM per_option
+    )
+    SELECT user_id, event_type AS winner, cnt, sum_value / cnt AS mean_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def vote_max_by(spark, sf_dir):
+    """A2: classification-vote aggregation — winner by (count, sum),
+    reported value is the mean; deterministic text tiebreak."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").cast("double").alias("sum_value")
+    )
+    pick = F.max_by(
+        F.struct("event_type", "cnt", "sum_value"),
+        F.struct(F.col("cnt"), F.col("sum_value"), F.col("event_type")),
+    )
+    return per.groupBy("user_id").agg(
+        pick.getField("event_type").alias("winner"),
+        pick.getField("cnt").alias("cnt"),
+        (pick.getField("sum_value") / pick.getField("cnt")).alias("mean_value"),
+    )
+
+
+@query(
+    "anti_join_negatives",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def anti_join_negatives(spark, sf_dir):
+    """T1/E4: the negative-sampling anti-join (labels/customers with
+    no positives/orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "semi_join_exists",
+    """
+    SELECT c.c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@query(
+    "prompt_expansion_join",
+    """
+    SELECT p.p_partkey, r.r_name,
+           p.p_type || '的' || r.r_name AS prompt
+    FROM part p CROSS JOIN region r
+    WHERE p.p_size > 40
+    """,
+)
+def prompt_expansion_join(spark, sf_dir):
+    """J2: the parent-span x child-node prompt-expansion join (the
+    subject->predicate step) — broadcast cross join + concat."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    r = _t(spark, sf_dir, "region")
+    return p.crossJoin(F.broadcast(r)).select(
+        "p_partkey",
+        "r_name",
+        F.concat(F.col("p_type"), F.lit("的"), F.col("r_name")).alias("prompt"),
+    )
+
+
+@query(
+    "double_dim_join",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(l.l_extendedprice) AS DOUBLE) AS volume
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name
+    """,
+)
+def double_dim_join(spark, sf_dir):
+    """J4: two joins into the SAME dimension (entity-id -> entity on
+    both from_id and to_id, like doccano relations) — TPC-H Q7 shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("l_extendedprice").cast("double").alias("volume"),
+        )
+    )
+
+
+@query(
+    "span_metric_prf",
+    """
+    WITH pred AS (SELECT event_id FROM events WHERE value > 150),
+         gold AS (SELECT event_id FROM events WHERE event_type = 'error'),
+         correct AS (SELECT CAST(count(*) AS BIGINT) c
+                     FROM pred JOIN gold USING (event_id))
+    SELECT (SELECT c FROM correct) AS num_correct,
+           (SELECT CAST(count(*) AS BIGINT) FROM pred) AS num_infer,
+           (SELECT CAST(count(*) AS BIGINT) FROM gold) AS num_label,
+           (SELECT c FROM correct) * 1.0 / (SELECT count(*) FROM pred) AS precision_,
+           (SELECT c FROM correct) * 1.0 / (SELECT count(*) FROM gold) AS recall_
+    """,
+)
+def span_metric_prf(spark, sf_dir):
+    """A4: SpanEvaluator as joins — |pred ∩ gold| via inner join, P/R
+    in a final select (utils.py:154-237 re-expressed relationally)."""
+    e = _t(spark, sf_dir, "events")
+    pred = e.filter(F.col("value") > 150).select("event_id")
+    gold = e.filter(F.col("event_type") == "error").select("event_id")
+    correct = pred.join(gold, "event_id").count()
+    n_pred = pred.count()
+    n_gold = gold.count()
+    return spark.createDataFrame(
+        [(correct, n_pred, n_gold, correct / n_pred, correct / n_gold)],
+        "num_correct: long, num_infer: long, num_label: long, "
+        "precision_: double, recall_: double",
+    )
+
+
+@query(
+    "cross_join_negatives",
+    """
+    WITH subjects AS (SELECT DISTINCT p_brand FROM part),
+         predicates AS (SELECT DISTINCT p_size FROM part),
+         positives AS (SELECT DISTINCT p_brand, p_size FROM part)
+    SELECT s.p_brand, p.p_size
+    FROM subjects s CROSS JOIN predicates p
+    ANTI JOIN positives pos
+      ON s.p_brand = pos.p_brand AND p.p_size = pos.p_size
+    """,
+)
+def cross_join_negatives(spark, sf_dir):
+    """E6: full negatives = subjects x predicates minus positives."""
+    part = _t(spark, sf_dir, "part")
+    subjects = part.select("p_brand").distinct()
+    predicates = part.select("p_size").distinct()
+    positives = part.select("p_brand", "p_size").distinct()
+    return subjects.crossJoin(predicates).join(
+        positives, ["p_brand", "p_size"], "left_anti"
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+
+
+@query(
+    "distinct_labels",
+    "SELECT DISTINCT event_type AS label FROM events",
+)
+def distinct_labels(spark, sf_dir):
+    """A5: distinct label universe (broadcast dim for negatives)."""
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("label")
+    ).distinct()
+
+
+# =====================================================================
+# extraction-pipeline relational stages (chunking, normalize, prompts)
+# =====================================================================
+
+@query(
+    "chunk_explode_offsets",
+    """
+    SELECT d.doc_id, CAST(gs.i AS BIGINT) AS chunk_idx,
+           substr(d.text, gs.i * 100 + 1, 100) AS chunk_text,
+           CAST(gs.i * 100 AS BIGINT) AS chunk_off
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(0,
+                    CAST(CASE WHEN length(d.text) <= 100 THEN 0
+                         ELSE ceil(length(d.text)/100.0) - 1 END AS BIGINT))) AS i) gs
+    """,
+)
+def chunk_explode_offsets(spark, sf_dir):
+    """A3: the native fixed-window chunk explode with char offsets
+    (uie_predictor.py:364-409 re-expressed; window=100)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.length("text") <= 100, F.lit(1)).otherwise(
+        F.ceil(F.length("text") / 100.0)
+    )
+    return d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), (n - 1).cast("long"))).alias(
+            "pos", "_i"
+        ),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_idx"),
+        F.substring(F.col("text"), F.col("pos") * 100 + 1, 100).alias("chunk_text"),
+        (F.col("pos").cast("long") * 100).alias("chunk_off"),
+    )
+
+
+@query(
+    "dbc2sbc_normalize",
+    f"""
+    SELECT doc_id,
+           translate(substr(text, 1, 40) || '：ＡＢ！１２３',
+                     '{DBC_FROM.replace("'", "''")}',
+                     '{DBC_TO.replace("'", "''")}')
+             AS normalized
+    FROM documents
+    """,
+)
+def dbc2sbc_normalize(spark, sf_dir):
+    """P2/F2: full-width -> half-width prompt normalization as a
+    native translate (same table as core.textnorm.dbc2sbc)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.translate(
+            F.concat(F.substring("text", 1, 40), F.lit("：ＡＢ！１２３")),
+            DBC_FROM,
+            DBC_TO,
+        ).alias("normalized"),
+    )
+
+
+@query(
+    "sentence_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[.!?。！？]')) AS BIGINT) AS n_sent_marks,
+           CAST(len(regexp_extract_all(text, '[\\S]+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def sentence_stats(spark, sf_dir):
+    """F1-adjacent: sentence-boundary and token counts (native regex)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?。！？]"), 0))
+        .cast("long")
+        .alias("n_sent_marks"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\S]+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@query(
+    "unify_prompt_name",
+    """
+    SELECT p_partkey,
+           p_brand || '[' ||
+           array_to_string(list_sort(list_distinct(
+               string_split(p_type || ',' || p_brand, ','))), ',')
+           || ']' AS unified
+    FROM part
+    """,
+)
+def unify_prompt_name(spark, sf_dir):
+    """F4: canonicalize '...[b,a,a]' option lists by sort+dedupe
+    (utils.py:425-435) on a synthesized prompt column."""
+    p = _t(spark, sf_dir, "part")
+    opts = F.split(F.concat_ws(",", F.col("p_type"), F.col("p_brand")), ",")
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_brand"),
+            F.lit("["),
+            F.array_join(F.array_sort(F.array_distinct(opts)), ","),
+            F.lit("]"),
+        ).alias("unified"),
+    )
+
+
+# =====================================================================
+# dedup suite (documents)
+# =====================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = f"""
+    WITH sh AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1,
+                      greatest(length(d.text) - 4, 1))) AS i) gs
+    ), salted AS (
+      SELECT doc_id, p.perm,
+             {h60_sql("CAST(p.perm AS VARCHAR) || '#' || shingle")} AS h
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS perm) p
+    )
+    SELECT doc_id, CAST(perm AS INT) AS perm, CAST(min(h) AS BIGINT) AS minhash
+    FROM salted GROUP BY doc_id, perm
+"""
+
+
+@query("minhash_signature", _MINHASH_SQL)
+def minhash_signature(spark, sf_dir):
+    return D.minhash_signature(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("perm").cast("int").alias("perm"), "minhash"
+    )
+
+
+@query(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    banded AS (
+      SELECT doc_id, CAST(perm // 3 AS INT) AS band,
+             md5(array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, CAST(perm // 3 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark, sf_dir):
+    sig = D.minhash_signature(_t(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs(sig)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH docs AS (SELECT * FROM documents WHERE doc_id < 120),
+    sh AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
+      FROM docs d,
+           LATERAL (SELECT unnest(generate_series(1,
+                      greatest(length(d.text) - 4, 1))) AS i) gs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+               JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.jaccard_pairs(docs, threshold=0.5)
+
+
+@query(
+    "simhash_fingerprint",
+    f"""
+    WITH docs AS (SELECT * FROM documents WHERE doc_id < 120),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[\\S]+')) AS tok
+            FROM docs)
+      GROUP BY doc_id, tok
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(tf * (CASE WHEN (({h60_sql("tok")} >> b.bit) & 1) = 1
+                       THEN 1 ELSE -1 END)) AS s
+      FROM tf, LATERAL (SELECT unnest(generate_series(0, 59)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.simhash(docs)
+
+
+# =====================================================================
+# text analysis (documents)
+# =====================================================================
+
+@query(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+             * 1.0 / greatest(length(text), 1) AS cjk_ratio,
+           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+             * 1.0 / greatest(length(text), 1) AS latin_ratio,
+           CASE WHEN length(text) = 0 THEN 'other'
+                WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+                     * 1.0 / length(text) > 0.3 THEN 'zh'
+                WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                     * 1.0 / length(text) > 0.3 THEN 'en'
+                ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[\\S]+')) AS INT) AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est,
+           CAST(length(text) AS INT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    return TS.token_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(text, '[\\S]+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(bit_xor({h60_sql("tok")}) AS BIGINT) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens
+    FROM toks GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# similarity / ANN (embeddings)
+# =====================================================================
+
+_EMB_FLAT = """
+      SELECT vec_id, gs.i - 1 AS i,
+             CAST(embedding[gs.i] AS DECIMAL(9,6)) AS xd
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+"""
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH flat AS ({_EMB_FLAT}),
+    norms AS (SELECT vec_id, CAST(sum(xd * xd) AS DOUBLE) AS norm2
+              FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum(a.xd * b.xd) AS DOUBLE) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b
+    FROM dots JOIN norms na ON dots.vec_a = na.vec_id
+              JOIN norms nb ON dots.vec_b = nb.vec_id
+    WHERE dot / sqrt(na.norm2 * nb.norm2) >= 0.9
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup in exact decimal arithmetic."""
+    return SIM.cosine_near_dup(_t(spark, sf_dir, "embeddings"), tau=0.9)
+
+
+@query(
+    "ann_topk_dot",
+    f"""
+    WITH flat AS ({_EMB_FLAT}),
+    q AS (SELECT vec_id AS query_id, i, xd AS qx FROM flat WHERE vec_id < 5),
+    dots AS (
+      SELECT q.query_id, f.vec_id AS neighbor_id, CAST(sum(q.qx * f.xd) AS DOUBLE) AS dot
+      FROM q JOIN flat f ON q.i = f.i
+      WHERE f.vec_id <> q.query_id
+      GROUP BY q.query_id, f.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank
+    FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rnk
+          FROM dots)
+    WHERE rnk <= 3
+    """,
+)
+def ann_topk_dot(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    return SIM.topk_by_dot(emb, queries, k=3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# =====================================================================
+# KG canonicalization (surface-form normalize + canonical id)
+# =====================================================================
+
+@query(
+    "canonicalize_surface_forms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(unnest(
+                 regexp_extract_all(text, '[\\S]+')))), '[^a-z0-9一-鿿]', '', 'g')
+               AS surface
+      FROM documents
+    )
+    SELECT surface, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_mentions
+    FROM toks WHERE surface <> '' GROUP BY surface
+    """,
+)
+def canonicalize_surface_forms(spark, sf_dir):
+    """∅J6-lite: normalize surface forms (lower/trim/strip punct) and
+    assign the min doc_id as canonical entity id — the exact-match
+    tier of entity canonicalization (MinHash tier: lsh_candidate_pairs;
+    CC tier: kg/canonicalize.py, oracle-free)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"[\S]+"), 0)).alias("tok"),
+    ).select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.trim(F.col("tok"))), r"[^a-z0-9一-鿿]", ""
+        ).alias("surface"),
+    )
+    return (
+        toks.filter(F.col("surface") != "")
+        .groupBy("surface")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
