@@ -158,6 +158,7 @@ class UIEEngine:
         self._infer_udf = _make_infer_udf(
             self.config.seed, self.config.max_seq_len, self.config.position_prob
         )
+        self._stage_caches: List[DataFrame] = []
 
     # ---------- public API ----------
 
@@ -166,6 +167,7 @@ class UIEEngine:
         docs = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), "text"
         )
+        self._stage_caches: List[DataFrame] = []
         all_results: List[DataFrame] = []
         cached: List[DataFrame] = []
         # frontier: node -> result DF of that node's stage
@@ -184,6 +186,13 @@ class UIEEngine:
         for df in all_results[1:]:
             out = out.unionByName(df)
         return out
+
+    def unpersist(self) -> None:
+        """Release stage caches after the extraction output has been
+        consumed (written / collected)."""
+        for df in self._stage_caches:
+            df.unpersist()
+        self._stage_caches = []
 
     @staticmethod
     def triples(spans: DataFrame) -> DataFrame:
@@ -367,6 +376,12 @@ class UIEEngine:
         )
         infer_in = infer_in.repartition(n_parts, "key")
         records = infer_in.mapInPandas(self._infer_udf, schema=_INFER_SCHEMA)
+        # both the span branch and the cls-vote branch scan `records`;
+        # without a persist the model would run TWICE per stage
+        # (DataFrame unions don't share subtrees). Far cheaper to cache
+        # the decoded spans (tiny vs the inference that made them).
+        records = records.persist()
+        self._stage_caches.append(records)
 
         joined = chunks.drop("prompt", "chunk_text", "text").join(records, "key")
 

@@ -59,6 +59,49 @@ def read_doccano(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCCANO_SCHEMA).json(path)
 
 
+# the three legacy dialects parsed at utils.py:845-897:
+#   {"data": ..., "label": [[start, end, label], ...]}      (<1.7)
+#   {"data": ..., "label": {"entities": [[s,e,l]...]}}      (mixed)
+#   {"text": ..., "label": [[start, end, label], ...]}
+_LEGACY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("data", T.StringType()),
+        T.StructField("label", T.StringType()),  # raw JSON, dialect-dependent
+        T.StructField("entities", ENTITY_T),
+        T.StructField("relations", RELATION_T),
+    ]
+)
+
+
+def read_doccano_any(spark: SparkSession, path: str) -> DataFrame:
+    """S3 with dialect unification: coalesce text/data, parse legacy
+    [[start, end, label]] lists (bare or under label.entities) into
+    the modern typed entity array; modern rows pass through."""
+    raw = spark.read.schema(_LEGACY_SCHEMA).json(path)
+    triple_arr = T.ArrayType(T.ArrayType(T.StringType()))
+    legacy_list = F.coalesce(
+        F.from_json(F.col("label"), triple_arr),
+        F.from_json(F.get_json_object(F.col("label"), "$.entities"), triple_arr),
+    )
+    parsed_legacy = F.transform(
+        legacy_list,
+        lambda x, i: F.struct(
+            (i + 1).cast("long").alias("id"),
+            x.getItem(0).cast("long").alias("start_offset"),
+            x.getItem(1).cast("long").alias("end_offset"),
+            x.getItem(2).alias("label"),
+        ),
+    )
+    return raw.select(
+        F.coalesce(F.col("id"), F.lit(0)).alias("id"),
+        F.coalesce(F.col("text"), F.col("data")).alias("text"),
+        F.coalesce(F.col("entities"), parsed_legacy).alias("entities"),
+        F.col("relations"),
+    )
+
+
 def entity_examples(docs: DataFrame) -> DataFrame:
     """Positive entity examples: prompt = label, result = span
     (utils.py:924-948). One row per (doc, entity)."""
