@@ -179,6 +179,7 @@ class UIEEngine:
             if node.children:
                 results = results.persist()
                 cached.append(results)
+                self._stage_caches.append(results)
             all_results.append(results)
             for child in node.children:
                 queue.append((child, results))

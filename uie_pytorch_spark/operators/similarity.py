@@ -143,9 +143,10 @@ def srp_buckets(emb: DataFrame, planes: int = 8, seed: int = 11) -> DataFrame:
     )
     return proj.groupBy("vec_id").agg(
         F.sum(
-            F.when(
-                F.col("proj") > 0,
-                F.shiftleft(F.lit(1).cast("long"), F.col("plane").cast("int")),
-            ).otherwise(F.lit(0).cast("long"))
+            # shiftleft with a COLUMN bit count needs the SQL form
+            F.expr(
+                "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), plane) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
         ).alias("bucket")
     )
