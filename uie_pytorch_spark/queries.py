@@ -736,3 +736,217 @@ def canonicalize_surface_forms(spark, sf_dir):
             F.count(F.lit(1)).alias("n_mentions"),
         )
     )
+
+
+# =====================================================================
+# round-1 widening: rollup, lag/lead, time buckets, merge roundtrip,
+# seeded sampling
+# =====================================================================
+
+@query(
+    "rollup_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark, sf_dir):
+    """∅A7: rollup aggregation (metrics layer)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "event_lag_gaps",
+    """
+    WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    SELECT user_id, event_id,
+           ts_sec - lag(ts_sec) OVER w AS gap_sec,
+           CASE WHEN lag(ts_sec) OVER w IS NULL
+                  OR ts_sec - lag(ts_sec) OVER w > 1800
+                THEN 1 ELSE 0 END AS session_start
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_lag_gaps(spark, sf_dir):
+    """∅W4: lag + sessionization boundary detection (30-min gap)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("long")
+    return e.select(
+        "user_id",
+        "event_id",
+        gap.alias("gap_sec"),
+        F.when(prev.isNull() | (gap > 1800), 1).otherwise(0).alias("session_start"),
+    )
+
+
+@query(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "chunk_merge_roundtrip",
+    """
+    WITH chunks AS (
+      SELECT d.doc_id, gs.i AS idx, substr(d.text, gs.i * 120 + 1, 120) AS chunk
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0,
+                      CAST(CASE WHEN length(d.text) <= 120 THEN 0
+                           ELSE ceil(length(d.text)/120.0) - 1 END AS BIGINT))) AS i) gs
+    )
+    SELECT c.doc_id,
+           (string_agg(c.chunk, '' ORDER BY c.idx) = min(d.text)) AS roundtrip_ok,
+           CAST(count(*) AS BIGINT) AS n_chunks
+    FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_merge_roundtrip(spark, sf_dir):
+    """A1/J1 invariant as a query: chunk -> ordered re-concat must
+    reproduce the document byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.when(F.length("text") <= 120, F.lit(1)).otherwise(
+        F.ceil(F.length("text") / 120.0)
+    )
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), (n - 1).cast("long"))).alias("idx", "_i"),
+    ).select(
+        "doc_id",
+        "text",
+        "idx",
+        F.substring(F.col("text"), F.col("idx") * 120 + 1, 120).alias("chunk"),
+    )
+    merged = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            "",
+        ).alias("merged"),
+        F.first("text").alias("orig"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    return merged.select(
+        "doc_id",
+        (F.col("merged") == F.col("orig")).alias("roundtrip_ok"),
+        "n_chunks",
+    )
+
+
+@query(
+    "seeded_negative_sample",
+    f"""
+    WITH universe AS (
+      SELECT c.c_custkey, p.o_orderpriority
+      FROM customer c CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ), positives AS (
+      SELECT DISTINCT o_custkey AS c_custkey, o_orderpriority FROM orders
+    ), negs AS (
+      SELECT u.c_custkey, u.o_orderpriority,
+             row_number() OVER (
+               PARTITION BY u.c_custkey
+               ORDER BY {h60_sql("CAST(u.c_custkey AS VARCHAR) || '|' || u.o_orderpriority")}
+             ) AS rn
+      FROM universe u ANTI JOIN positives p
+        ON u.c_custkey = p.c_custkey AND u.o_orderpriority = p.o_orderpriority
+    )
+    SELECT c_custkey, o_orderpriority FROM negs WHERE rn <= 2
+    """,
+)
+def seeded_negative_sample(spark, sf_dir):
+    """E4 as an oracle query: absent labels per entity, deterministic
+    seeded sample of 2 via hash-ordered row_number (O3 reproducible-
+    order semantics, cross-engine via h60)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    labels = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    pos = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderpriority")
+        .distinct()
+    )
+    universe = c.crossJoin(F.broadcast(labels))
+    negs = universe.join(pos, ["c_custkey", "o_orderpriority"], "left_anti")
+    w = Window.partitionBy("c_custkey").orderBy(
+        h60(
+            F.concat(
+                F.col("c_custkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderpriority"),
+            )
+        )
+    )
+    return (
+        negs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_custkey", "o_orderpriority")
+    )
+
+
+@query(
+    "quality_features",
+    """
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '[\\.,;:!\\?。！？，；：]', '', 'g')))
+             * 1.0 / greatest(length(text), 1) AS punct_ratio,
+           CAST(CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN (length(text) - length(regexp_replace(text, '[\\.,;:!\\?。！？，；：]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1) > 0.005
+                   AND (length(text) - length(regexp_replace(text, '[\\.,;:!\\?。！？，；：]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1) < 0.2
+                  THEN 0.3 ELSE 0.0 END AS DOUBLE) AS partial_quality
+    FROM documents
+    """,
+)
+def quality_features(spark, sf_dir):
+    """Quality-score features (punctuation ratio + length band)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    punct = n - F.length(F.regexp_replace(t, r"[\.,;:!\?。！？，；：]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n, F.lit(1))
+    return d.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        (
+            F.when((n >= 50) & (n <= 2000), 0.4).otherwise(0.0)
+            + F.when((punct_ratio > 0.005) & (punct_ratio < 0.2), 0.3).otherwise(0.0)
+        ).alias("partial_quality"),
+    )
