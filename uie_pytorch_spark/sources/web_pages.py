@@ -119,3 +119,25 @@ def write_partitioned(pages: DataFrame, path: str) -> None:
         .partitionBy("crawl_date")
         .parquet(path)
     )
+
+
+def read_web_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Format-gated source: 'iceberg:<catalog.db.table>' loads through
+    the Iceberg DataSource (snapshot isolation + hidden partition
+    pruning on days(warc_ts)/bucket(url)); anything else is a parquet
+    path with the same schema. The engine is storage-agnostic — the
+    sandbox has no Iceberg runtime jar, so tests exercise the parquet
+    branch and the Iceberg branch is a thin format swap."""
+    if source.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(source[len("iceberg:"):])
+    return spark.read.parquet(source)
+
+
+def write_triples(df: DataFrame, target: str) -> None:
+    """Format-gated sink: Iceberg append (atomic snapshot commit per
+    partition batch — what kg/lineage.py's per-partition parquet
+    writes model in-sandbox) or parquet append."""
+    if target.startswith("iceberg:"):
+        df.writeTo(target[len("iceberg:"):]).append()
+    else:
+        df.write.mode("append").parquet(target)
