@@ -152,11 +152,11 @@ def main():
         pairs = [
             tuple(map(int, p.split(":")))
             for p in os.environ.get(
-                "SPARK_GRAFT_SCALING_PAIRS", "2:8,8:32"
+                "SPARK_GRAFT_SCALING_PAIRS", "2:8"
             ).split(",")
         ]
         out["scaling"] = {}
-        rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "6"))
+        rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "3"))
         for small, big in pairs:
             rep = min(max(1, (big * rep_mult) // 8), 12)
             times = {}

@@ -91,6 +91,10 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
+        # cut the upstream DAG once — edge construction may sit on an
+        # expensive lineage (model inference); every CC round and the
+        # isEmpty probe would otherwise recompute it
+        .localCheckpoint(eager=True)
     )
     if e.isEmpty():
         return spark.createDataFrame([], "id: long, component: long")
@@ -159,11 +163,12 @@ def canonicalize_mentions(
         "mention_id",
         "surface",
         normalize_surface(F.col("surface")).alias("surface_norm"),
-    )
+    ).persist()
     surfaces = (
         m.select("surface_norm")
         .distinct()
         .withColumn("sid", F.xxhash64("surface_norm"))
+        .persist()
     )
     edges = near_match_edges(surfaces, jaccard_threshold)
     comps = connected_components(edges)

@@ -950,3 +950,61 @@ def quality_features(spark, sf_dir):
             + F.when((punct_ratio > 0.005) & (punct_ratio < 0.2), 0.3).otherwise(0.0)
         ).alias("partial_quality"),
     )
+
+
+# =====================================================================
+# rows-only pipeline queries (model-backed; no SQL oracle — the exact
+# correctness gate for these is tests/test_engine_parity.py)
+# =====================================================================
+
+def _uie_engine(spark, sf_dir, schema, lang="en"):
+    from .engine import UIEConfig, UIEEngine
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eng = UIEEngine(spark, schema, UIEConfig(lang=lang))
+    return eng, UIEEngine, eng.extract(docs)
+
+
+def uie_entities(spark, sf_dir):
+    """Root-level entity mentions from the model pipeline."""
+    _, E, spans = _uie_engine(spark, sf_dir, ["subject entity"])
+    return E.entities(spans).orderBy("doc_id", "start", "text")
+
+
+QUERIES["uie_entities"] = uie_entities
+
+
+def kg_canonical_entities(spark, sf_dir):
+    """End-to-end KG tier: extract mentions -> normalize -> MinHash
+    LSH -> connected components -> canonical surface ids."""
+    from pyspark.sql import functions as F
+
+    from .kg.canonicalize import canonicalize_mentions
+
+    _, E, spans = _uie_engine(spark, sf_dir, ["subject entity"])
+    mentions = (
+        E.entities(spans)
+        .filter(F.col("doc_id") < 200)  # bound the O(pairs) LSH verify
+        .select(F.col("text").alias("surface"))
+        .distinct()
+        .withColumn("mention_id", F.xxhash64("surface"))
+    )
+    return canonicalize_mentions(mentions).select(
+        "surface", "surface_norm", "canonical_surface_id"
+    ).orderBy("surface")
+
+
+QUERIES["kg_canonical_entities"] = kg_canonical_entities
+
+
+def uie_nested_export(spark, sf_dir):
+    """Reference-shaped nested JSON per document (A6 export)."""
+    from .export import nested_results
+
+    _, _, spans = _uie_engine(
+        spark, sf_dir, {"subject entity": ["related fact"]}
+    )
+    return nested_results(spans).orderBy("doc_id")
+
+
+QUERIES["uie_nested_export"] = uie_nested_export
