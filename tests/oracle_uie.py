@@ -237,3 +237,9 @@ def flat_triples(results: List[dict]) -> set:
             for s in spans:
                 walk(doc_idx, s)
     return out
+
+
+def golden_sort_key(row):
+    doc, path, text, start, end, prob = row
+    return (doc, path, -1 if start is None else start,
+            -1 if end is None else end, text, prob)
