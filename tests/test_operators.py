@@ -182,3 +182,18 @@ def test_minhash_lsh_groups_near_duplicates(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_engine_ops_metrics_accumulators(spark):
+    from uie_pytorch_spark.engine import UIEConfig, UIEEngine
+
+    docs = spark.createDataFrame(
+        [(i, "2022语言与智能技术竞赛由中国中文信息学会主办。") for i in range(8)],
+        "doc_id: long, text: string",
+    )
+    eng = UIEEngine(spark, ["竞赛名称"], UIEConfig())
+    n_spans = eng.extract(docs).count()
+    m = eng.metrics
+    # dedupe collapses 8 identical docs to ONE model input
+    assert m["inference_rows"] == 1
+    assert m["decoded_spans"] * 8 >= n_spans  # spans fan back out via join
