@@ -104,22 +104,18 @@ def main():
         t, _ = _timed(lambda: QUERIES[name](spark, SF_DIR).count())
         results[name] = round(t, 3)
 
-    # similarity at bench scale uses the LSH-bucketed + float path
-    # (the decimal brute-force variant exists for oracle checking at
-    # sf0.01, it is deliberately O(n^2))
+    # similarity at bench scale uses the SRP bucket-join + in-bucket
+    # exact rerank (the 100 TB path — candidates meet in buckets, no
+    # cross join; the decimal brute-force variant exists for oracle
+    # checking at sf0.01, it is deliberately O(n^2))
     def _ann_scale_path():
         from pyspark.sql import functions as F
 
-        from uie_pytorch_spark.operators.similarity import (
-            cosine_topk_float,
-            srp_buckets,
-        )
+        from uie_pytorch_spark.operators.similarity import srp_topk
 
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        buckets = srp_buckets(emb, planes=8)
         q = emb.select("vec_id").filter(F.col("vec_id") < 50)
-        topk = cosine_topk_float(emb, q, k=10)
-        return buckets.count() + topk.count()
+        return srp_topk(emb, q, k=10, planes=8, dim=64).count()
 
     t, _ = _timed(_ann_scale_path)
     results["ann_srp_topk"] = round(t, 3)

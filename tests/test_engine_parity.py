@@ -91,7 +91,11 @@ def test_engine_matches_oracle_english(spark):
 
 def test_engine_dedupe_inference_is_transparent(spark):
     """Dedup of identical (prompt, chunk) pairs must not change any
-    result — duplicated docs in the corpus included."""
+    result — duplicated docs in the corpus included. Compares row
+    MULTISETS: the join-back must attach each record exactly once per
+    owner chunk (a set compare would mask duplicate inflation)."""
+    from collections import Counter
+
     texts, _ = _docs(spark, n=12, seed=5)
     texts = texts + texts[:6]  # exact duplicates
     docs = spark.createDataFrame(
@@ -99,10 +103,22 @@ def test_engine_dedupe_inference_is_transparent(spark):
     )
     schema = {"竞赛名称": ["主办方"]}
     o = flat_spans(OracleUIE(schema).extract(texts))
-    on = _spark_sets(UIEEngine(spark, schema, UIEConfig(dedupe_inference=True)).extract(docs))[0]
-    off = _spark_sets(UIEEngine(spark, schema, UIEConfig(dedupe_inference=False)).extract(docs))[0]
-    assert on == o
+    out = UIEEngine(spark, schema, UIEConfig(dedupe_inference=False)).extract(docs)
+    collected = out.collect()
+    rows = Counter(
+        (r["doc_id"], r["node_path"], r["text"], r["start"], r["end"],
+         r["parent_text"], r["parent_start"])
+        for r in collected
+    )
+    assert max(rows.values()) == 1, "duplicate result rows emitted"
+    off = {
+        (r["doc_id"], r["node_path"], r["text"], r["start"], r["end"],
+         round(r["prob"], 6))
+        for r in collected
+    }
     assert off == o
+    on = _spark_sets(UIEEngine(spark, schema, UIEConfig(dedupe_inference=True)).extract(docs))[0]
+    assert on == o
 
 
 def test_engine_long_docs_chunk_merge(spark):

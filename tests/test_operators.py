@@ -197,3 +197,36 @@ def test_engine_ops_metrics_accumulators(spark):
     # dedupe collapses 8 identical docs to ONE model input
     assert m["inference_rows"] == 1
     assert m["decoded_spans"] * 8 >= n_spans  # spans fan back out via join
+
+
+def test_jaccard_candidates_pushdown_matches_allpairs(spark):
+    """The candidate-pair fast path (pair-list joined to per-doc
+    shingle sets, no all-pairs blow-up) must agree exactly with the
+    all-pairs branch restricted to those candidates — including inter /
+    size columns, and candidate pairs with zero shared shingles must
+    vanish in both."""
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),
+            (2, "abcdefgXij"),
+            (3, "abcdefghij-tail"),
+            (4, "zzzzzzzzzz"),
+            (5, "qqqqq"),
+        ],
+        "doc_id: long, text: string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5)], "doc_a: long, doc_b: long"
+    )
+    allp = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["sz_a"], r["sz_b"])
+        for r in D.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    cand_keys = {(a, b) for a, b in [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5)]}
+    expected = {t for t in allp if (t[0], t[1]) in cand_keys}
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["sz_a"], r["sz_b"])
+        for r in D.jaccard_pairs(docs, threshold=0.0, candidates=cands).collect()
+    }
+    assert got == expected
+    assert (4, 5) not in {(a, b) for (a, b, *_s) in got}  # no shared shingle

@@ -48,6 +48,7 @@ from .schema import SchemaNode, build_tree
 _INFER_SCHEMA = T.StructType(
     [
         T.StructField("key", T.LongType()),
+        T.StructField("key2", T.LongType()),
         T.StructField("ord", T.IntegerType()),
         T.StructField("rtext", T.StringType()),
         T.StructField("rstart", T.LongType()),
@@ -88,6 +89,8 @@ def _make_infer_udf(
     position_prob: float,
     acc_rows=None,
     acc_spans=None,
+    model_path: Optional[str] = None,
+    backend: str = "numpy",
 ):
     """mapInArrow kernel: unique (key, prompt, chunk_text) rows in,
     one row per decoded span record out. Arrow RecordBatches directly
@@ -107,7 +110,7 @@ def _make_infer_udf(
         from uie_pytorch_spark.core.infer import infer_decode_batch
         from uie_pytorch_spark.core.model import get_model
 
-        model = get_model(seed)
+        model = get_model(seed, model_path=model_path, backend=backend)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -120,10 +123,17 @@ def _make_infer_udf(
                 max_seq_len=max_seq_len,
                 position_prob=position_prob,
             )
-            keys, ords, texts, starts, ends, probs, clss = [], [], [], [], [], [], []
-            for key, recs in zip(rb.column("key").to_pylist(), records):
+            keys, keys2, ords, texts, starts, ends, probs, clss = (
+                [], [], [], [], [], [], [], [],
+            )
+            for key, key2, recs in zip(
+                rb.column("key").to_pylist(),
+                rb.column("key2").to_pylist(),
+                records,
+            ):
                 for r in recs:
                     keys.append(key)
+                    keys2.append(key2)
                     ords.append(r["ord"])
                     texts.append(r["text"])
                     starts.append(r["start"])
@@ -135,6 +145,7 @@ def _make_infer_udf(
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(keys, pa.int64()),
+                    pa.array(keys2, pa.int64()),
                     pa.array(ords, pa.int32()),
                     pa.array(texts, pa.string()),
                     pa.array(starts, pa.int64()),
@@ -142,7 +153,10 @@ def _make_infer_udf(
                     pa.array(probs, pa.float64()),
                     pa.array(clss, pa.bool_()),
                 ],
-                names=["key", "ord", "rtext", "rstart", "rend", "prob", "is_cls"],
+                names=[
+                    "key", "key2", "ord", "rtext", "rstart", "rend",
+                    "prob", "is_cls",
+                ],
             )
 
     return infer
@@ -155,9 +169,21 @@ class UIEConfig:
     position_prob: float = 0.5
     lang: str = "zh"
     split_sentence: bool = False
+    # DEPRECATED no-op, kept for API compat: identical (prompt, chunk)
+    # rows are ALWAYS deduplicated before inference — with duplicates
+    # present, the key join-back would multiply span records per owner
+    # row (each duplicate's records attach to every duplicate).
     dedupe_inference: bool = True
     # partitions for the inference stage; None -> leave to AQE
     infer_partitions: Optional[int] = None
+    # model artifact seam: path to a saved .npz (core.model.save_weights)
+    # shipped to executors via sc.addFile / --files / spark.archives;
+    # None -> regenerate TinyUIE from `seed` in-process.
+    model_path: Optional[str] = None
+    # execution backend inside the UDF: numpy (always available) |
+    # torch (GPU slot-in) | onnx — torch/onnx are import-guarded
+    # (reference uie_predictor.py:78-117, 149-198).
+    backend: str = "numpy"
 
 
 class UIEEngine:
@@ -184,6 +210,8 @@ class UIEEngine:
             self.config.position_prob,
             acc_rows=self.acc_infer_rows,
             acc_spans=self.acc_spans_out,
+            model_path=self.config.model_path,
+            backend=self.config.backend,
         )
         self._stage_caches: List[DataFrame] = []
 
@@ -209,7 +237,11 @@ class UIEEngine:
         queue: List[tuple] = [(c, None) for c in self.tree.children]
         while queue:
             node, parent_results = queue.pop(0)
-            examples = self._build_examples(node, docs, parent_results)
+            examples = self._with_mpl(
+                self._build_examples(node, docs, parent_results),
+                node,
+                parent_results,
+            )
             results = self._run_stage(node, examples)
             if node.children:
                 results = results.persist()
@@ -315,26 +347,62 @@ class UIEEngine:
             "parent_prob",
         )
 
-    def _max_predict_len(self, examples: DataFrame) -> int:
-        """Reference quirk (uie_predictor.py:418): subtract the length
-        of the LEXICOGRAPHICALLY max prompt. Spark's max() on strings
-        is binary-collation UTF-8 order == Python code-point order."""
-        from .core.textnorm import max_predict_len
+    def _with_mpl(
+        self,
+        examples: DataFrame,
+        node: SchemaNode,
+        parent_results: Optional[DataFrame],
+    ) -> DataFrame:
+        """Attach the stage window size as an ``mpl`` column WITHOUT a
+        driver-side job.
 
-        row = examples.agg(F.max("prompt").alias("m")).collect()[0]
-        if row["m"] is None:
-            return self.config.max_seq_len - 3
-        return max_predict_len([row["m"]], self.config.max_seq_len)
+        Reference quirk (uie_predictor.py:418): the window deducts the
+        length of the LEXICOGRAPHICALLY max prompt (Spark string max is
+        binary-collation UTF-8 order == Python code-point order).
 
-    def _chunk(self, examples: DataFrame, mpl: int) -> DataFrame:
+        * Root stage: the prompt is a literal -> mpl is a literal. No
+          Spark job at all (round 1 ran a full scan of docs here).
+        * Child stage: max(prompt) depends only on parent span texts,
+          so it is computed from the (persisted) parent results as a
+          1-row agg cross-joined back as a broadcast — a scalar
+          subquery. The whole extraction stays one lazy DAG; round 1's
+          per-stage collect() + examples-subtree recompute (2 extra
+          passes incl. a docs re-join per stage) is gone.
+        """
+        from .core.textnorm import MIN_PREDICT_WINDOW, max_predict_len
+
+        msl = self.config.max_seq_len
+        if parent_results is None:
+            mpl = max_predict_len([dbc2sbc(node.name)], msl)
+            return examples.withColumn("mpl", F.lit(mpl))
+        mpl_df = (
+            parent_results.select(self._child_prompt_col(node).alias("p"))
+            .agg(F.max("p").alias("maxp"))
+            .select(
+                F.coalesce(
+                    F.greatest(
+                        F.lit(msl) - F.length("maxp") - F.lit(3),
+                        F.lit(MIN_PREDICT_WINDOW),
+                    ),
+                    F.lit(msl - 3),  # empty stage: any window works
+                )
+                .cast("int")
+                .alias("mpl")
+            )
+        )
+        return examples.crossJoin(F.broadcast(mpl_df))
+
+    def _chunk(self, examples: DataFrame) -> DataFrame:
         """Native chunk explode. Fixed windows: chunk k covers chars
         [k*mpl, (k+1)*mpl); its char offset is exactly k*mpl
         (uie_predictor.py:364-409, 551-565). Sentence mode replays the
         reference regex chain then windows each sentence; offsets are
-        a running sum of chunk lengths."""
+        a running sum of chunk lengths. The window size is the ``mpl``
+        column attached by _with_mpl (literal or broadcast scalar)."""
+        mpl = F.col("mpl")
         if not self.config.split_sentence:
             n = F.when(F.length("text") <= mpl, F.lit(1)).otherwise(
-                F.ceil(F.length("text") / F.lit(mpl))
+                F.ceil(F.length("text") / mpl)
             )
             chunks = examples.select(
                 "*",
@@ -376,7 +444,8 @@ class UIEEngine:
             "*", F.posexplode(F.sequence(F.lit(0), n - 1)).alias("win_idx", "_i")
         ).drop("_i")
         chunks = chunks.withColumn(
-            "chunk_text", F.substring(F.col("sent"), F.col("win_idx") * mpl + 1, mpl)
+            "chunk_text",
+            F.substring(F.col("sent"), F.col("win_idx") * mpl + 1, mpl),
         )
         from pyspark.sql.window import Window
 
@@ -395,14 +464,23 @@ class UIEEngine:
         ).drop("sent", "sent_idx", "win_idx")
 
     def _run_stage(self, node: SchemaNode, examples: DataFrame) -> DataFrame:
-        mpl = self._max_predict_len(examples)
-        chunks = self._chunk(examples, mpl).withColumn(
-            "key", F.xxhash64("prompt", "chunk_text")
+        # (key, key2) is the join identity between owner chunks and
+        # decoded records: two independent 64-bit hashes (different
+        # field orders -> different byte streams) give ~2^-128 birthday
+        # collision odds at billions of unique chunks, where a single
+        # xxhash64 would silently cross-attach spans (~50% at ~4.3e9).
+        chunks = (
+            self._chunk(examples)
+            .withColumn("key", F.xxhash64("prompt", "chunk_text"))
+            .withColumn("key2", F.xxhash64("chunk_text", "prompt"))
         )
 
-        infer_in = chunks.select("key", "prompt", "chunk_text")
-        if self.config.dedupe_inference:
-            infer_in = infer_in.dropDuplicates(["key"])
+        # ALWAYS dedupe identical (prompt, chunk) rows before the model:
+        # web corpora repeat boilerplate, and the join-back would
+        # multiply records if duplicates survived here.
+        infer_in = chunks.select(
+            "key", "key2", "prompt", "chunk_text"
+        ).dropDuplicates(["key", "key2"])
         # ALWAYS repartition before the model UDF: the inference stage
         # is compute-bound, not size-bound — AQE's size-based
         # coalescing would shrink the tiny post-distinct shuffle to 1
@@ -419,7 +497,9 @@ class UIEEngine:
         records = records.persist()
         self._stage_caches.append(records)
 
-        joined = chunks.drop("prompt", "chunk_text", "text").join(records, "key")
+        joined = chunks.drop("prompt", "chunk_text", "text", "mpl").join(
+            records, ["key", "key2"]
+        )
 
         span_rows = joined.filter(~F.col("is_cls")).select(
             "doc_id",

@@ -106,10 +106,14 @@ def nested_results(spans: DataFrame) -> DataFrame:
 
 def relation_class_report(triples: DataFrame) -> DataFrame:
     """F7 (debug eval): group relation prompts by their '的'-suffix
-    predicate (utils.py:642-681 re-expressed as a regexp groupBy)."""
+    predicate (utils.py:642-681: the fallback path splits on the LAST
+    '的' — rsplit('的', 1) — and names with no '的' group as
+    themselves). Re-expressed as a regexp groupBy: capture after the
+    last '的', empty/no-match falls back to the whole predicate."""
+    suffix = F.regexp_extract(F.col("pred"), "的([^的]+)$", 1)
     return (
         triples.withColumn(
-            "relation_class", F.regexp_extract(F.col("pred"), "(.+)$", 1)
+            "relation_class", F.coalesce(F.nullif(suffix, F.lit("")), F.col("pred"))
         )
         .groupBy("relation_class")
         .agg(

@@ -111,20 +111,41 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram (char-shingle) Jaccard similarity pairs >= threshold.
-    With ``candidates`` given, computes only those pairs (the LSH
-    scale path); otherwise all pairs sharing >=1 shingle (oracle/test
-    path)."""
+    With ``candidates`` given, the intersection is computed by joining
+    the candidate PAIR LIST to the per-doc shingle sets (work is
+    O(|candidates| * shingles-per-doc) — the all-pairs co-shingle
+    blow-up never happens, and shingles of non-candidate docs are
+    semi-joined away before any wide join). Without ``candidates``:
+    all pairs sharing >=1 shingle (oracle/test path, O(n^2) by
+    design)."""
     sh = shingles(docs, text_col, width)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"])
+        cand = candidates.select("doc_a", "doc_b")
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # prune shingles (and sizes) to candidate docs BEFORE any join
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sha, "doc_a")
+            .join(shb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

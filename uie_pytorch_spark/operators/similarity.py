@@ -121,25 +121,68 @@ def cosine_topk_float(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
     )
 
 
-def srp_buckets(emb: DataFrame, planes: int = 8, seed: int = 11) -> DataFrame:
+def _flat_micro(emb: DataFrame) -> DataFrame:
+    """(vec_id, i, xi) with xi = round(x * 1e6) as bigint — integer
+    micro-units. Float->decimal(9,6) casts round DIFFERENTLY in Spark
+    vs DuckDB at the 7th decimal (observed ~1e-8 dot drift), but
+    float->double widening, *1e6 in IEEE double, and half-away-from-
+    zero rounding agree bit-for-bit, so integer dots are cross-engine
+    exact. Dot products fit comfortably: |xi| <= 1e6, dim 64 ->
+    |dot| <= 6.4e13 << 2^63."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("xi"),
+    )
+
+
+def _plane_sign(seed: int, plane: int, i: int) -> int:
+    """+-1 plane component: parity of the cross-engine h60 hash of
+    'seed#plane#i' (hashing.py contract — hashlib.md5 == Spark md5 ==
+    DuckDB md5 on the same UTF-8 bytes)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}#{plane}#{i}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def srp_buckets(
+    emb: DataFrame, planes: int = 8, seed: int = 11, dim: int = 64
+) -> DataFrame:
     """Sign-random-projection LSH bucket per vector: bit p of the
     bucket id is the sign of dot(v, plane_p), where plane components
-    are deterministic +-1 derived from xxhash64(seed, p, i). The 100 TB
-    ANN path: bucket-join then exact rerank inside buckets."""
-    flat = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
-    p = flat.select(
-        "vec_id",
-        "x",
-        "i",
-        F.explode(F.sequence(F.lit(0), F.lit(planes - 1))).alias("plane"),
-    ).withColumn(
-        "sign",
-        F.when(
-            F.pmod(F.xxhash64(F.lit(seed), F.col("plane"), F.col("i")), 2) == 0, 1.0
-        ).otherwise(-1.0),
+    are deterministic +-1 derived from the cross-engine md5 hash
+    (hashing.h60), so bucket membership is oracle-checkable in DuckDB.
+    Projections run in exact decimal arithmetic — the sign test is
+    bitwise identical across engines and partitionings (float sums
+    near zero could flip a bucket bit between engines).
+
+    Scale shape: one explode (dim x planes rows per vector via a
+    broadcast join against the tiny sign table, all map-side
+    combinable) + two partial-agg groupBys keyed by vec_id — no big
+    joins, no driver state; linear in corpus size. The sign table
+    (planes x dim rows) is computed driver-side with hashlib.md5
+    (bit-identical to Spark's md5 and DuckDB's) so no per-data-row
+    hashing runs at all. Projections are exact integer micro-unit
+    sums, so the sign test never straddles a float boundary."""
+    flat = _flat_micro(emb)
+    signs = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [
+                (p, i, _plane_sign(seed, p, i))
+                for p in range(planes)
+                for i in range(dim)
+            ],
+            "plane: int, i: int, sign: int",
+        )
     )
+    p = flat.join(signs, "i")
     proj = p.groupBy("vec_id", "plane").agg(
-        F.sum(F.col("x") * F.col("sign")).alias("proj")
+        F.sum(F.col("xi") * F.col("sign")).alias("proj")
     )
     return proj.groupBy("vec_id").agg(
         F.sum(
@@ -149,4 +192,55 @@ def srp_buckets(emb: DataFrame, planes: int = 8, seed: int = 11) -> DataFrame:
                 "ELSE CAST(0 AS BIGINT) END"
             )
         ).alias("bucket")
+    )
+
+
+def srp_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """The 100 TB ANN path: SRP bucket equi-join + exact in-bucket
+    rerank. Candidates for a query are ONLY the vectors sharing its
+    bucket (an equi-join on bucket id — never a cross join); the
+    rerank computes exact decimal dot products on candidate pairs by
+    joining the pair list to the flat vectors, so the per-pair work is
+    O(dim) and total work is O(sum of bucket sizes squared / buckets)
+    instead of O(n^2).
+
+    Returns (query_id, neighbor_id, dot, rank) with rank <= k, ties by
+    neighbor_id — deterministic and DuckDB-oracle-checkable (planes
+    are md5-derived, projections exact decimal)."""
+    buckets = srp_buckets(emb, planes=planes, seed=seed, dim=dim)
+    qb = buckets.join(queries, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = qb.join(buckets, "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+
+    flat = _flat_micro(emb)
+    qf = flat.select(
+        F.col("vec_id").alias("query_id"), "i", F.col("xi").alias("qx")
+    ).join(queries.select(F.col("vec_id").alias("query_id")), "query_id")
+    cf = flat.select(F.col("vec_id").alias("neighbor_id"), "i", "xi")
+    dots = (
+        cand.join(qf, "query_id")
+        .join(cf, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.sum(F.col("qx") * F.col("xi")).cast("double") / F.lit(1e12))
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
     )

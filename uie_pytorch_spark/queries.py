@@ -694,6 +694,79 @@ def ann_topk_dot(spark, sf_dir):
     )
 
 
+_SRP_SEED = 11
+_SRP_PLANES = 4
+_SRP_SIGN = (
+    "CASE WHEN "
+    + h60_sql(
+        f"CAST({_SRP_SEED} AS VARCHAR) || '#' || CAST(plane AS VARCHAR)"
+        " || '#' || CAST(i AS VARCHAR)"
+    )
+    + " % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+_EMB_MICRO = """
+      SELECT vec_id, gs.i - 1 AS i,
+             CAST(round(CAST(embedding[gs.i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+"""
+
+
+@query(
+    "ann_srp_topk",
+    f"""
+    WITH flat AS ({_EMB_MICRO}),
+    signs AS (
+      SELECT plane, i, {_SRP_SIGN} AS sign
+      FROM (SELECT unnest(generate_series(0, {_SRP_PLANES - 1})) AS plane),
+           (SELECT unnest(generate_series(0, 63)) AS i)
+    ),
+    proj AS (
+      SELECT f.vec_id, s.plane, sum(f.xi * s.sign) AS proj
+      FROM flat f JOIN signs s ON f.i = s.i
+      GROUP BY f.vec_id, s.plane
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN proj > 0
+                           THEN (CAST(1 AS BIGINT) << plane)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q
+      JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    dots AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(qf.xi * cf.xi) AS DOUBLE) / 1e12 AS dot
+      FROM cand
+      JOIN flat qf ON qf.vec_id = cand.query_id
+      JOIN flat cf ON cf.vec_id = cand.neighbor_id AND cf.i = qf.i
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
+    FROM (SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS rnk
+          FROM dots)
+    WHERE rnk <= 3
+    """,
+)
+def ann_srp_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN: bucket equi-join + exact in-bucket rerank
+    (the 100 TB scale path — never a cross join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    return SIM.srp_topk(
+        emb, queries, k=3, planes=_SRP_PLANES, seed=_SRP_SEED, dim=64
+    )
+
+
 # =====================================================================
 # KG canonicalization (surface-form normalize + canonical id)
 # =====================================================================
