@@ -230,3 +230,22 @@ def test_jaccard_candidates_pushdown_matches_allpairs(spark):
     }
     assert got == expected
     assert (4, 5) not in {(a, b) for (a, b, *_s) in got}  # no shared shingle
+
+
+def test_xxh64_matches_spark(spark):
+    """tests/xxh64.py (pure-Python XXH64, seed 42) must agree with
+    Spark's xxhash64() on strings — the eager KG oracle relies on it
+    to reproduce engine ids without Spark."""
+    from xxh64 import xxh64_str
+
+    samples = [
+        "", "a", "abc", "1234567", "12345678", "123456789012345",
+        "exactly-32-bytes-string-here-ok!", "北京 清华大学", "ＡＢＣ　ｄｅｆ",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100, "長い日本語のテキスト" * 7,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s: string")
+    from pyspark.sql import functions as F
+
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == xxh64_str(s), repr(s)

@@ -184,6 +184,13 @@ class UIEConfig:
     # torch (GPU slot-in) | onnx — torch/onnx are import-guarded
     # (reference uie_predictor.py:78-117, 149-198).
     backend: str = "numpy"
+    # force a broadcast hint on the records join-back (decoded spans
+    # are orders of magnitude smaller than the chunk table). Default
+    # False = let AQE decide from runtime stats — correct at 100 TB
+    # where per-stage record sets outgrow the broadcast limit; set
+    # True for static-plan (AQE-off) runs at bench scale, where it
+    # removes two shuffles+sorts of the wide chunk table per stage.
+    join_back_broadcast: bool = False
 
 
 class UIEEngine:
@@ -497,8 +504,13 @@ class UIEEngine:
         records = records.persist()
         self._stage_caches.append(records)
 
+        right = (
+            F.broadcast(records)
+            if self.config.join_back_broadcast
+            else records
+        )
         joined = chunks.drop("prompt", "chunk_text", "text", "mpl").join(
-            records, ["key", "key2"]
+            right, ["key", "key2"]
         )
 
         span_rows = joined.filter(~F.col("is_cls")).select(

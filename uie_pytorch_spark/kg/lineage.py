@@ -109,26 +109,51 @@ class CheckpointedRun:
         """Process every not-yet-done partition: docs in the bucket ->
         extract_fn -> append triples under part_key=<k> + lineage row.
         ``fail_after_partitions`` injects a crash for the resume test.
-        Returns the full triples table."""
+        Returns the full triples table.
+
+        Scan shape: the input is keyed and persisted ONCE, and every
+        bucket's rows_in comes from ONE groupBy job over that cache —
+        the per-bucket loop then reads the cache, never the source
+        (round 1 re-scanned the source parquet + ran a count() per
+        bucket: 2B passes for B buckets). Per-bucket writes + lineage
+        rows are kept — that IS the commit granularity the resume
+        contract needs (on Iceberg: one snapshot append per bucket);
+        a single partitionBy(part_key) write would be one atomic
+        all-or-nothing commit and lose mid-run resumability."""
         keyed = pages.withColumn(
             "part_key", salted_partition_key(F.col("url"), self.buckets)
-        )
-        done = set(self.completed_partitions())
-        todo = [k for k in range(self.buckets) if k not in done]
-        processed = 0
-        for k in todo:
-            if fail_after_partitions is not None and processed >= fail_after_partitions:
-                raise RuntimeError(f"injected failure before partition {k}")
-            t0 = time.monotonic()
-            part = keyed.filter(F.col("part_key") == k)
-            rows_in = part.count()
-            triples = extract_fn(part.drop("part_key"))
-            out_path = os.path.join(self.triples_path, f"part_key={k}")
-            triples.write.mode("overwrite").parquet(out_path)
-            n_out = self.spark.read.parquet(out_path).count()
-            self._append_lineage(
-                k, "extract", "done", rows_in, n_out,
-                int((time.monotonic() - t0) * 1000),
-            )
-            processed += 1
+        ).persist()
+        try:
+            done = set(self.completed_partitions())
+            todo = [k for k in range(self.buckets) if k not in done]
+            # one job: per-bucket input counts (also materializes the
+            # cache the per-bucket filters below will read)
+            rows_in_by_key = {
+                r["part_key"]: r["n"]
+                for r in keyed.groupBy("part_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            processed = 0
+            for k in todo:
+                if (
+                    fail_after_partitions is not None
+                    and processed >= fail_after_partitions
+                ):
+                    raise RuntimeError(f"injected failure before partition {k}")
+                t0 = time.monotonic()
+                part = keyed.filter(F.col("part_key") == k)
+                triples = extract_fn(part.drop("part_key"))
+                out_path = os.path.join(self.triples_path, f"part_key={k}")
+                triples.write.mode("overwrite").parquet(out_path)
+                # read-back count = verify the COMMITTED state, not the
+                # in-memory plan (cheap: local parquet footer scan)
+                n_out = self.spark.read.parquet(out_path).count()
+                self._append_lineage(
+                    k, "extract", "done", rows_in_by_key.get(k, 0), n_out,
+                    int((time.monotonic() - t0) * 1000),
+                )
+                processed += 1
+        finally:
+            keyed.unpersist()
         return self.spark.read.parquet(self.triples_path)

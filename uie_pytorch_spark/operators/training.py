@@ -60,14 +60,20 @@ def _rechunk_row(content: str, prompt: str, results: List[dict], max_seq_len: in
     """Pure-python replica of the reference reader's windowing
     (utils.py:345-422): yields (content, result_list) windows. The
     boundary moves LEFT to the straddling span's start; offsets
-    re-base per window."""
+    re-base per window. Prompt-anchored results (end <= 0 — cls
+    answers at negative offsets inside the prompt) are copied into
+    EVERY window UN-shifted, mirroring the reference's end<=0 branch
+    (utils.py:382-388, 401-403); the reference's behavior for lists
+    MIXING negative and positive offsets is order-dependent garbage
+    that real data never produces — we split the two kinds instead."""
     max_content_len = max_seq_len - len(prompt) - 3
     if max_content_len <= 0:
         raise ValueError("max_seq_len too small for prompt")
     if len(content) <= max_content_len:
         yield content, results
         return
-    res = [dict(r) for r in results]
+    anchored = [dict(r) for r in results if r["end"] <= 0]
+    res = [dict(r) for r in results if r["end"] > 0]
     res.sort(key=lambda r: (r["start"], r["end"]))
     cur_limit = max_content_len
     out = []
@@ -79,7 +85,7 @@ def _rechunk_row(content: str, prompt: str, results: List[dict], max_seq_len: in
         cur_content = content[:cur_limit]
         rest = content[cur_limit:]
         cur_results = [r for r in res if 0 <= r["start"] and r["end"] <= cur_limit]
-        out.append((cur_content, cur_results))
+        out.append((cur_content, cur_results + anchored))
         res = [
             {"text": r["text"], "start": r["start"] - cur_limit, "end": r["end"] - cur_limit}
             for r in res
@@ -90,7 +96,7 @@ def _rechunk_row(content: str, prompt: str, results: List[dict], max_seq_len: in
         if len(content) == 0:
             break
         if len(content) < cur_limit:
-            out.append((content, res))
+            out.append((content, res + anchored))
             break
     yield from out
 
@@ -102,18 +108,20 @@ def rechunk_train_examples(df: DataFrame, max_seq_len: int = 512) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents, prompts, resultss = [], [], []
-            for _, row in pdf.iterrows():
-                raw = row["result_list"]
+            # itertuples, not iterrows: no per-row Series construction
+            # (~5-10x less per-row overhead; same outputs)
+            for row in pdf.itertuples(index=False):
+                raw = row.result_list
                 raw = [] if raw is None else list(raw)
                 rl = [
                     {"text": r["text"], "start": int(r["start"]), "end": int(r["end"])}
                     for r in raw
                 ]
                 for content, results in _rechunk_row(
-                    row["content"], row["prompt"], rl, max_seq_len
+                    row.content, row.prompt, rl, max_seq_len
                 ):
                     contents.append(content)
-                    prompts.append(row["prompt"])
+                    prompts.append(row.prompt)
                     resultss.append(
                         [
                             {"text": r["text"], "start": r["start"], "end": r["end"]}
@@ -149,8 +157,8 @@ def encode_train_examples(df: DataFrame, max_seq_len: int = 512) -> DataFrame:
 
         for pdf in batches:
             rows = {k: [] for k in ENCODED_SCHEMA.fieldNames()}
-            for _, row in pdf.iterrows():
-                enc = encode_pair(row["prompt"], row["content"], max_seq_len)
+            for row in pdf.itertuples(index=False):
+                enc = encode_pair(row.prompt, row.content, max_seq_len)
                 L = enc["input_ids"].shape[0]
                 ids = np.zeros(max_seq_len, dtype=np.int64)
                 tt = np.zeros(max_seq_len, dtype=np.int64)
@@ -160,8 +168,8 @@ def encode_train_examples(df: DataFrame, max_seq_len: int = 512) -> DataFrame:
                 am[:L] = enc["attention_mask"]
                 start_ids = np.zeros(max_seq_len, dtype=np.int64)
                 end_ids = np.zeros(max_seq_len, dtype=np.int64)
-                bias = len(row["prompt"]) + 2  # [CLS] + prompt + [SEP]
-                raw = row["result_list"]
+                bias = len(row.prompt) + 2  # [CLS] + prompt + [SEP]
+                raw = row.result_list
                 for r in ([] if raw is None else list(raw)):
                     s_tok = int(r["start"]) + bias
                     e_tok = int(r["end"]) - 1 + bias
@@ -182,15 +190,21 @@ def encode_train_examples(df: DataFrame, max_seq_len: int = 512) -> DataFrame:
 def relation_train_negatives(
     docs: DataFrame, negative_ratio: int = 3, seed: int = 1000
 ) -> DataFrame:
-    """E5: the three train-mode negative pools, each capped at
-    negative_ratio // 3 per doc (reference utils.py:1014-1080):
+    """E5: the three train-mode negative pools (reference
+    utils.py:1014-1080 + add_relation_negative_example:718-752):
       pool 1 — inverse relations: object + '的' + predicate;
       pool 2 — non-subject entities x an existing predicate;
       pool 3 — subject x entity labels that are not predicates.
-    Deterministic seeded sampling via hash-ordered row_number."""
+    Per-pool cap = (negative_ratio // 3) * num_positives; pools'
+    LEFTOVERS then top the total back up to negative_ratio *
+    num_positives (utils.py:1067-1075) — so total negatives per doc =
+    min(negative_ratio * num_positives, union pool size). Docs with
+    zero positives take ALL pool rows uncapped (utils.py:722-726).
+    Property parity, not RNG-sequence parity (SURVEY §5.2/5):
+    deterministic seeded sampling via hash-ordered row_number."""
     from ..sources.annotations import entity_examples, relation_examples
 
-    cap = max(negative_ratio // 3, 1)
+    per_n = negative_ratio // 3
     pos = relation_examples(docs).select(
         "doc_id", "content", "prompt"
     )
@@ -264,12 +278,36 @@ def relation_train_negatives(
     negs = all_pools.join(pos, ["doc_id", "prompt"], "left_anti").dropDuplicates(
         ["doc_id", "prompt", "pool"]
     )
-    w = Window.partitionBy("doc_id", "pool").orderBy(
-        F.xxhash64(F.lit(seed), "doc_id", "prompt")
+    n_pos = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("np"))
+    negs = negs.join(n_pos, "doc_id", "left").withColumn(
+        "np", F.coalesce(F.col("np"), F.lit(0))
+    )
+    h = F.xxhash64(F.lit(seed), "doc_id", "prompt")
+    w_pool = Window.partitionBy("doc_id", "pool").orderBy(h)
+    negs = negs.withColumn("rn", F.row_number().over(w_pool)).withColumn(
+        "added",
+        (F.col("np") == 0) | (F.col("rn") <= F.lit(per_n) * F.col("np")),
+    )
+    # leftover top-up: rank the rest per doc, take enough to reach
+    # negative_ratio * num_positives in total
+    w_doc = Window.partitionBy("doc_id")
+    w_rest = Window.partitionBy("doc_id", "added").orderBy(h)
+    negs = (
+        negs.withColumn(
+            "added_cnt",
+            F.sum(F.when(F.col("added"), 1).otherwise(0)).over(w_doc),
+        )
+        .withColumn("rest_rn", F.row_number().over(w_rest))
+        .withColumn(
+            "num_sup",
+            F.lit(negative_ratio) * F.col("np") - F.col("added_cnt"),
+        )
     )
     return (
-        negs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= cap)
+        negs.filter(
+            F.col("added")
+            | (F.col("rest_rn") <= F.greatest(F.col("num_sup"), F.lit(0)))
+        )
         .select(
             "doc_id",
             "content",

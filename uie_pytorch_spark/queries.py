@@ -1081,3 +1081,24 @@ def uie_nested_export(spark, sf_dir):
 
 
 QUERIES["uie_nested_export"] = uie_nested_export
+
+
+# Frozen EAGER-ORACLE goldens for the model-backed queries (generated
+# by scripts/freeze_query_oracles.py from tests/oracle_uie.OracleUIE +
+# tests/eager_kg — independent eager dataflows, NOT the Spark engine).
+# Valid for the driver's correctness SF (sf0.01); the kernel is
+# bitwise-deterministic (batch-invariant model, BLAS pinned to one
+# thread on package import), so value hashes match exactly.
+_FROZEN = "/root/repo/tests/frozen"
+ORACLE_SQL["uie_entities"] = (
+    f"SELECT * FROM read_parquet('{_FROZEN}/uie_entities.parquet')"
+)
+ORACLE_SQL["kg_canonical_entities"] = (
+    f"SELECT * FROM read_parquet('{_FROZEN}/kg_canonical_entities.parquet')"
+)
+ORACLE_SQL["uie_nested_export"] = (
+    f"SELECT * FROM read_parquet('{_FROZEN}/uie_nested_export.parquet')"
+)
+FLAGSHIP_ORACLE_SQL = (
+    f"SELECT * FROM read_parquet('{_FROZEN}/uie_flagship_triples.parquet')"
+)
