@@ -92,6 +92,7 @@ class OracleUIE:
         position_prob: float = 0.5,
         lang: str = "zh",
         split_sentence: bool = False,
+        tokenizer: str = "char",
     ):
         self.root = build_tree(schema)
         self.model = get_model(seed)
@@ -99,6 +100,7 @@ class OracleUIE:
         self.position_prob = position_prob
         self.is_en = lang == "en"
         self.split_sentence = split_sentence
+        self.tokenizer = tokenizer
 
     # -- single stage (uie_predictor.py:411-514) --
     def _single_stage(self, examples: List[dict]) -> List[List[dict]]:
@@ -121,6 +123,7 @@ class OracleUIE:
             flat_chunks,
             max_seq_len=self.max_seq_len,
             position_prob=self.position_prob,
+            tokenizer=self.tokenizer,
         )
         results = []
         i = 0

@@ -31,6 +31,7 @@ def infer_decode_batch(
     chunk_texts: Sequence[str],
     max_seq_len: int = 512,
     position_prob: float = 0.5,
+    tokenizer: str = "char",
 ) -> List[List[SpanRecord]]:
     """Run the kernel on a batch of (prompt, chunk) pairs.
 
@@ -42,7 +43,9 @@ def infer_decode_batch(
     """
     if len(prompts) == 0:
         return []
-    enc = encode_batch(prompts, chunk_texts, max_seq_len=max_seq_len)
+    enc = encode_batch(
+        prompts, chunk_texts, max_seq_len=max_seq_len, mode=tokenizer
+    )
     start_prob, end_prob = forward_bucketed(
         model, enc["input_ids"], enc["token_type_ids"], enc["attention_mask"]
     )

@@ -85,14 +85,161 @@ def encode_pair(prompt: str, text: str, max_seq_len: int = 512):
     }
 
 
-def encode_batch(prompts: Sequence[str], texts: Sequence[str], max_seq_len: int = 512, pad_to: int | None = None):
+# ---------------------------------------------------------------------
+# Wordpiece-style English mode ("wordpiece-en")
+#
+# The reference's HF BertTokenizerFast emits multi-char sub-word
+# tokens for English with per-token (char_start, char_end) offsets
+# (uie_predictor.py:443-452); char-level tokenization is exact for zh
+# but diverges from that on en sub-word boundaries. This mode
+# reproduces the STRUCTURE: BERT-style basic tokenization (whitespace
+# + punctuation split, CJK chars per-char) followed by greedy
+# longest-match-first wordpiece over a fixed, deterministic sub-word
+# list (no vocab file to ship — HF vocabs aren't available in this
+# environment). Offsets are segment-relative spans of each piece, so
+# the whole downstream decode (rebase, pairing, slicing) is unchanged
+# — including the reference's token-count-vs-char-count rebase quirk
+# for prompts (utils.py:539-557 shifts by TOKEN count, the cls slice
+# at uie_predictor.py:347-352 shifts back by CHAR count).
+# ---------------------------------------------------------------------
+
+# common English prefixes/suffixes/stems, longest-match-first; all
+# lowercase, len >= 2. Deterministic and environment-free.
+_WP_SUBWORDS = frozenset(
+    """
+    the tion sion ment ness able ible ship ing ness ance ence ally
+    ous ive ful less est ers ies ied ed er ly al an re on at en in
+    es or ar is it as to of and for with from over under inter
+    un dis pre pro con com per sub out up anti auto bio geo
+    micro multi semi tele trans ultra
+    """.split()
+)
+_WP_MAX_PIECE = 12
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x3000 <= cp <= 0x303F
+        or 0xFF00 <= cp <= 0xFFEF
+    )
+
+
+def basic_spans(s: str) -> List[tuple]:
+    """BERT BasicTokenizer-style word spans: (start, end) for each
+    whitespace-delimited word, with punctuation and CJK characters as
+    single-char spans."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if _is_cjk(ord(c)) or not (c.isalnum() or c == "'"):
+            out.append((i, i + 1))
+            i += 1
+            continue
+        j = i
+        while j < n and (s[j].isalnum() or s[j] == "'") and not _is_cjk(ord(s[j])) and not s[j].isspace():
+            j += 1
+        out.append((i, j))
+        i = j
+    return out
+
+
+def wordpiece_spans(s: str) -> List[tuple]:
+    """(start, end, is_continuation) sub-word piece spans for the
+    whole string: basic split, then greedy longest-match-first within
+    each word against _WP_SUBWORDS (single chars always match as the
+    fallback — no [UNK], every char is coverable)."""
+    pieces = []
+    for w0, w1 in basic_spans(s):
+        word = s[w0:w1].lower()
+        k = 0
+        while k < len(word):
+            end = min(len(word), k + _WP_MAX_PIECE)
+            match = 1
+            for m in range(end - k, 1, -1):
+                if word[k : k + m] in _WP_SUBWORDS:
+                    match = m
+                    break
+            pieces.append((w0 + k, w0 + k + match, k > 0))
+            k += match
+    return pieces
+
+
+def _piece_ids(s: str, pieces: List[tuple]) -> np.ndarray:
+    """Stable token ids for pieces: crc32 of the (##-marked, lowered)
+    piece string — deterministic across processes, no vocab file."""
+    import zlib
+
+    ids = np.empty(len(pieces), dtype=np.int64)
+    for i, (a, b, cont) in enumerate(pieces):
+        tok = ("##" if cont else "") + s[a:b].lower()
+        ids[i] = VOCAB_OFFSET + (zlib.crc32(tok.encode("utf-8")) % VOCAB_CHARS)
+    return ids
+
+
+def encode_pair_wp(prompt: str, text: str, max_seq_len: int = 512):
+    """Wordpiece-mode ``encode_pair``: identical contract and array
+    shapes; offsets are segment-relative piece spans. When the pair
+    exceeds max_seq_len the TEXT tail is truncated piece-wise."""
+    pp = wordpiece_spans(prompt)
+    if len(pp) > max_seq_len - 3:
+        pp = pp[: max_seq_len - 3]
+    budget = max_seq_len - 3 - len(pp)
+    tp = wordpiece_spans(text)[: max(budget, 0)]
+
+    lp, lt = len(pp), len(tp)
+    L = 1 + lp + 1 + lt + 1
+    ids = np.empty(L, dtype=np.int64)
+    ids[0] = CLS_ID
+    ids[1 : 1 + lp] = _piece_ids(prompt, pp)
+    ids[1 + lp] = SEP_ID
+    ids[2 + lp : 2 + lp + lt] = _piece_ids(text, tp)
+    ids[L - 1] = SEP_ID
+
+    tt = np.zeros(L, dtype=np.int64)
+    tt[2 + lp :] = 1
+
+    om = np.zeros((L, 2), dtype=np.int64)
+    for i, (a, b, _c) in enumerate(pp):
+        om[1 + i, 0] = a
+        om[1 + i, 1] = b
+    for i, (a, b, _c) in enumerate(tp):
+        om[2 + lp + i, 0] = a
+        om[2 + lp + i, 1] = b
+
+    return {
+        "input_ids": ids,
+        "token_type_ids": tt,
+        "attention_mask": np.ones(L, dtype=np.int64),
+        "offset_mapping": om,
+    }
+
+
+_ENCODERS = {"char": encode_pair, "wordpiece-en": encode_pair_wp}
+
+
+def encode_batch(
+    prompts: Sequence[str],
+    texts: Sequence[str],
+    max_seq_len: int = 512,
+    pad_to: int | None = None,
+    mode: str = "char",
+):
     """Encode a batch, padding to the batch-longest (or ``pad_to``).
 
     Returns dict of arrays shaped (B, L) / (B, L, 2). Padding is
     per-batch 'longest' — the model is bitwise padding-invariant (see
     core.model), so batch composition does not affect results.
+    ``mode``: 'char' (default, exact for zh) or 'wordpiece-en'.
     """
-    encs = [encode_pair(p, t, max_seq_len) for p, t in zip(prompts, texts)]
+    enc = _ENCODERS[mode]
+    encs = [enc(p, t, max_seq_len) for p, t in zip(prompts, texts)]
     L = max((e["input_ids"].shape[0] for e in encs), default=0)
     if pad_to is not None:
         L = max(L, pad_to)

@@ -91,6 +91,7 @@ def _make_infer_udf(
     acc_spans=None,
     model_path: Optional[str] = None,
     backend: str = "numpy",
+    tokenizer: str = "char",
 ):
     """mapInArrow kernel: unique (key, prompt, chunk_text) rows in,
     one row per decoded span record out. Arrow RecordBatches directly
@@ -122,6 +123,7 @@ def _make_infer_udf(
                 rb.column("chunk_text").to_pylist(),
                 max_seq_len=max_seq_len,
                 position_prob=position_prob,
+                tokenizer=tokenizer,
             )
             keys, keys2, ords, texts, starts, ends, probs, clss = (
                 [], [], [], [], [], [], [], [],
@@ -184,6 +186,11 @@ class UIEConfig:
     # torch (GPU slot-in) | onnx — torch/onnx are import-guarded
     # (reference uie_predictor.py:78-117, 149-198).
     backend: str = "numpy"
+    # tokenization inside the UDF: 'char' (default; exact for zh — the
+    # reference's BERT tokenizer is per-character for Chinese) or
+    # 'wordpiece-en' (BERT-style basic split + greedy longest-match
+    # sub-word pieces with real multi-char offsets; see tokenizer.py).
+    tokenizer: str = "char"
     # force a broadcast hint on the records join-back (decoded spans
     # are orders of magnitude smaller than the chunk table). Default
     # False = let AQE decide from runtime stats — correct at 100 TB
@@ -219,6 +226,7 @@ class UIEEngine:
             acc_spans=self.acc_spans_out,
             model_path=self.config.model_path,
             backend=self.config.backend,
+            tokenizer=self.config.tokenizer,
         )
         self._stage_caches: List[DataFrame] = []
 
