@@ -54,3 +54,83 @@ def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
     # exactly-once: re-running with nothing new appends nothing
     stream_extract(spark, inp, out, ckpt, SCHEMA)
     assert spark.read.parquet(out).count() == got2.count()
+
+
+def test_stream_crawl_rollup_watermarked_windows(spark, tmp_path):
+    """Watermarked windowed agg: wave 1's hour-windows are finalized
+    (append mode emits them) once wave 2's later timestamps advance
+    the watermark past their end; totals match the batch rollup."""
+    from uie_pytorch_spark.streaming import stream_crawl_rollup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    all_pages = fixture_web_pages(spark, n_docs=120, seed=33)
+    # wave 1 = first 60 docs (ts up to ~7h), wave 2 = rest (up to ~14h)
+    w1 = all_pages.filter(F.col("url").rlike("/page/[0-5]?[0-9]$"))
+    w2 = all_pages.subtract(w1)
+    w1.write.mode("overwrite").parquet(inp)
+    stream_crawl_rollup(spark, inp, out, ckpt)  # trigger 1: nothing final yet
+    w2.write.mode("append").parquet(inp)
+    stream_crawl_rollup(spark, inp, out, ckpt)  # trigger 2: wave-1 windows close
+
+    got = {
+        (r["window_start"], r["lang"]): (r["n_pages"], r["n_chars"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no windows finalized"
+    # every emitted window matches the batch rollup exactly
+    batch = {
+        (r["w"]["start"], r["lang"]): (r["n_pages"], r["n_chars"])
+        for r in all_pages.groupBy(
+            F.window("warc_ts", "1 hour").alias("w"), "lang"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v
+    # append mode emitted each window at most once
+    rows = spark.read.parquet(out).groupBy("window_start", "lang").count()
+    assert rows.filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: identical content arriving in a
+    LATER micro-batch (recrawl/mirror) is suppressed by state; each
+    distinct content is emitted exactly once, earliest copy wins."""
+    from uie_pytorch_spark.streaming import stream_dedup_first_seen
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    w1 = fixture_web_pages(spark, n_docs=20, seed=44)
+    w1.write.mode("overwrite").parquet(inp)
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    distinct1 = w1.select("text").distinct().count()
+    assert n1 == distinct1
+
+    # wave 2: same texts under new urls (mirror crawl) + 5 new docs
+    mirror = w1.withColumn("url", F.concat(F.lit("https://mirror.net/"), F.col("url")))
+    fresh = fixture_web_pages(spark, n_docs=60, seed=44).filter(
+        F.col("url").rlike("/page/5[0-9]$")
+    )
+    mirror.unionByName(fresh).write.mode("append").parquet(inp)
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+
+    got = spark.read.parquet(out)
+    # no content hash ever emitted twice, across batches
+    dupes = got.groupBy("content_hash").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0
+    # all genuinely-new contents were emitted
+    expected = (
+        w1.select("text").unionByName(mirror.select("text"))
+        .unionByName(fresh.select("text")).select(F.md5("text")).distinct().count()
+    )
+    assert got.count() == expected

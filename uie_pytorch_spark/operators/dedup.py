@@ -159,6 +159,44 @@ def jaccard_pairs(
     return out
 
 
+def near_dup_canonical(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    width: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """End-to-end near-duplicate document canonicalization — the
+    corpus-dedup composition a web-text pipeline runs before training:
+    MinHash -> LSH banding (candidates) -> exact Jaccard verify (on
+    candidates ONLY) -> connected components over verified edges ->
+    (doc_id, canonical_doc_id = min doc id of the near-dup cluster;
+    docs in no cluster map to themselves). Keeping `WHERE doc_id =
+    canonical_doc_id` yields the deduplicated corpus.
+
+    Scale shape: every step is the audited scale path (banded
+    equi-join, candidate-pushdown Jaccard, small/large-star CC with
+    per-round lineage cuts); no all-pairs work anywhere."""
+    from ..kg.canonicalize import connected_components  # local: avoids cycle
+
+    sig = minhash_signature(docs, text_col, width=width)
+    cands = lsh_candidate_pairs(sig)
+    verified = jaccard_pairs(
+        docs, threshold=threshold, text_col=text_col, width=width,
+        candidates=cands,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comps = connected_components(verified)
+    return (
+        docs.select("doc_id")
+        .join(comps, docs["doc_id"] == comps["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_doc_id"
+            ),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     """60-bit SimHash over whitespace tokens weighted by term
     frequency: bit j of the fingerprint is set when the tf-weighted

@@ -202,6 +202,7 @@ def srp_topk(
     planes: int = 8,
     seed: int = 11,
     dim: int = 64,
+    probes: int = 0,
 ) -> DataFrame:
     """The 100 TB ANN path: SRP bucket equi-join + exact in-bucket
     rerank. Candidates for a query are ONLY the vectors sharing its
@@ -211,6 +212,12 @@ def srp_topk(
     O(dim) and total work is O(sum of bucket sizes squared / buckets)
     instead of O(n^2).
 
+    ``probes`` > 0 enables multi-probe: each query also looks in the
+    buckets at Hamming distance 1 on its first ``probes`` planes (the
+    standard SRP recall lever — a vector near a hyperplane lands on
+    either side, so flipping one sign bit recovers most cross-boundary
+    neighbors at probes x the bucket work, still never all-pairs).
+
     Returns (query_id, neighbor_id, dot, rank) with rank <= k, ties by
     neighbor_id — deterministic and DuckDB-oracle-checkable (planes
     are md5-derived, projections exact decimal)."""
@@ -218,9 +225,20 @@ def srp_topk(
     qb = buckets.join(queries, "vec_id").select(
         F.col("vec_id").alias("query_id"), "bucket"
     )
+    if probes > 0:
+        flips = F.array(
+            F.lit(0),
+            *[F.shiftleft(F.lit(1), p).cast("long") for p in range(min(probes, planes))],
+        )
+        qb = qb.select(
+            "query_id",
+            F.explode(
+                F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("bucket"),
+        ).distinct()
     cand = qb.join(buckets, "bucket").filter(
         F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    ).select("query_id", F.col("vec_id").alias("neighbor_id")).distinct()
 
     flat = _flat_micro(emb)
     qf = flat.select(

@@ -548,6 +548,63 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_near_canonical",
+    f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    banded AS (
+      SELECT doc_id, CAST(perm // 3 AS INT) AS band,
+             md5(array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',')) AS band_hash
+      FROM sig GROUP BY doc_id, CAST(perm // 3 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1,
+                      greatest(length(d.text) - 4, 1))) AS i) gs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                 JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst AS src, src AS dst FROM edges
+    ),
+    cc(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT sym.dst, cc.comp FROM cc JOIN sym ON cc.id = sym.src
+    )
+    SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_doc_id
+    FROM cc GROUP BY id
+    """,
+)
+def dedup_near_canonical(spark, sf_dir):
+    """End-to-end near-dup canonicalization: MinHash -> LSH -> Jaccard
+    verify (candidates only) -> connected components -> canonical doc
+    id. The DuckDB oracle recomputes the SAME pipeline with the CC as
+    a recursive label-propagation CTE — the transitive closure is
+    live-SQL-checked, not frozen."""
+    return D.near_dup_canonical(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
     "simhash_fingerprint",
     f"""
     WITH docs AS (SELECT * FROM documents WHERE doc_id < 120),

@@ -61,3 +61,113 @@ def stream_extract(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_crawl_rollup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    await_termination: bool = True,
+):
+    """Watermarked event-time rollup of crawl arrivals: pages per
+    (event-time window, lang), append mode — a window is emitted
+    exactly once, after the watermark (max seen warc_ts - ``watermark``)
+    passes its end, so late pages within the allowance still count and
+    older ones are dropped. This is the streaming ops-metrics surface
+    (crawl-rate dashboards) the batch lineage table cannot provide."""
+    pages = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_chars",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+DEDUP_OUT_SCHEMA = (
+    "content_hash string, url string, warc_ts timestamp, text string"
+)
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    emit each distinct page CONTENT exactly once across the whole
+    stream lifetime — the streaming twin of exact_dup_groups. State is
+    one boolean per content hash; a hash seen in ANY earlier
+    micro-batch suppresses all later copies (mirror crawls, recrawls).
+    Unlike ``dropDuplicates`` on a stream, the state shape, timeout
+    policy, and emit rule are explicit and extensible (e.g. keep the
+    best-quality copy by swapping the emit rule)."""
+    import pandas as pd
+
+    pages = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+        .withColumn("content_hash", F.md5("text"))
+    )
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return  # whole content group already emitted once
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.sort_values(["warc_ts", "url"]).head(1)
+        if first is None:
+            return
+        state.update((True,))
+        yield first[["content_hash", "url", "warc_ts", "text"]]
+
+    deduped = pages.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
