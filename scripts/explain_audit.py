@@ -117,6 +117,23 @@ def main():
          plan_of(D.jaccard_pairs(docs_j, threshold=0.5, candidates=cands)))
     )
 
+    # 8. end-to-end near-dup canonicalization (CC inputs only — the CC
+    # loop itself is iterative with localCheckpoint lineage cuts, so
+    # the auditable plan is the edge-construction pipeline)
+    sections.append(
+        ("near-dup verified edges (minhash -> LSH band join -> candidate-pushdown jaccard)",
+         "Expect: partial-aggregated minhash groupBys, one banded "
+         "equi-join for candidates, and the jaccard intersection "
+         "computed by joining the candidate pair list to semi-join-"
+         "pruned shingles — no all-pairs self-join.",
+         plan_of(
+             D.jaccard_pairs(
+                 docs_j, threshold=0.5,
+                 candidates=D.lsh_candidate_pairs(D.minhash_signature(docs_j)),
+             )
+         ))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"
