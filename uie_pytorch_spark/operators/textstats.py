@@ -89,6 +89,48 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The composite keep/drop gate a pre-training corpus pipeline
+    applies: language known (zh/en), enough tokens, sane punctuation
+    density, and not a non-canonical exact duplicate. One pass over
+    the corpus: the langid/token/quality features are all computed in
+    a single projection (whole-stage codegen), the dup check is one
+    hash groupBy — no Python anywhere."""
+    from .dedup import exact_dup_groups
+
+    li = lang_id(docs, text_col)
+    tc = token_count(docs, text_col)
+    qs = quality_score(docs, text_col)
+    hashes = docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+    dup = exact_dup_groups(docs, text_col)
+    is_dup = (
+        hashes.join(dup, "content_hash", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("canonical_doc_id").isNotNull()
+                & (F.col("doc_id") != F.col("canonical_doc_id"))
+            ).alias("is_dup"),
+        )
+    )
+    joined = (
+        li.select("doc_id", "pred_lang")
+        .join(tc.select("doc_id", "ws_tokens"), "doc_id")
+        .join(qs.select("doc_id", "punct_ratio"), "doc_id")
+        .join(is_dup, "doc_id")
+    )
+    keep = (
+        F.col("pred_lang").isin("zh", "en")
+        & (F.col("ws_tokens") >= 2)
+        & (F.col("punct_ratio") < 0.2)
+        & ~F.col("is_dup")
+    )
+    return joined.select(
+        "doc_id", "pred_lang", "ws_tokens", "punct_ratio", "is_dup",
+        keep.alias("keep"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-independent 60-bit document fingerprint: bit_xor of the
     md5-derived hashes of the document's distinct whitespace tokens.

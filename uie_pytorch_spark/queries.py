@@ -672,6 +672,44 @@ def token_counts(spark, sf_dir):
 
 
 @query(
+    "corpus_filter_pipeline",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 'other'
+                  WHEN (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+                       * 1.0 / length(text) > 0.3 THEN 'zh'
+                  WHEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                       * 1.0 / length(text) > 0.3 THEN 'en'
+                  ELSE 'other' END AS pred_lang,
+             CAST(len(regexp_extract_all(text, '[\\S]+')) AS INT) AS ws_tokens,
+             (length(text) - length(regexp_replace(text, '[\\.,;:!\\?。！？，；：]', '', 'g')))
+               * 1.0 / greatest(length(text), 1) AS punct_ratio,
+             md5(text) AS content_hash
+      FROM documents
+    ),
+    canon AS (
+      SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id
+      FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    )
+    SELECT f.doc_id, f.pred_lang, f.ws_tokens, f.punct_ratio,
+           (c.canonical_doc_id IS NOT NULL
+            AND f.doc_id <> c.canonical_doc_id) AS is_dup,
+           (f.pred_lang IN ('zh', 'en') AND f.ws_tokens >= 2
+            AND f.punct_ratio < 0.2
+            AND NOT (c.canonical_doc_id IS NOT NULL
+                     AND f.doc_id <> c.canonical_doc_id)) AS keep
+    FROM feats f LEFT JOIN canon c ON f.content_hash = c.content_hash
+    """,
+)
+def corpus_filter_pipeline(spark, sf_dir):
+    """Composite pre-training corpus gate: language known + enough
+    tokens + sane punctuation density + not a non-canonical exact
+    duplicate — the standard keep/drop decision before extraction."""
+    return TS.corpus_filter(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_fingerprint",
     f"""
     WITH toks AS (
