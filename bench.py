@@ -201,6 +201,13 @@ def main():
         "triples_per_sec": round(n_triples / t_flag, 2) if t_flag else None,
     }
 
+    # overall wall budget: stop ADDING scaling windows when exceeded so
+    # the JSON line always prints with whatever samples exist (a driver
+    # timeout mid-scaling would otherwise lose the whole result)
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "780")
+    )
+
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         spark.stop()
         # North-rule evidence: SAME job, SAME input, N vs 4N cores.
@@ -238,16 +245,23 @@ def main():
             # empirically its 2nd in-session run is the clean one);
             # the small side 1 (it is ~4x costlier and ~3x less noisy).
             for i in range(max(n_samples - 1, 1)):
+                if samples[small] and samples[big] and time.monotonic() > deadline:
+                    break  # keep what we have; never lose the JSON line
                 for cores in (small, big):
                     big_side = cores == big
-                    t, n = _scaling_sample(
-                        cores,
-                        rep,
-                        inner=2 if big_side else 1,
-                        warm_rep=1 if big_side else 0,
-                    )
+                    try:
+                        t, n = _scaling_sample(
+                            cores,
+                            rep,
+                            inner=2 if big_side else 1,
+                            warm_rep=1 if big_side else 0,
+                        )
+                    except Exception:
+                        continue  # a failed window must not kill the bench
                     samples[cores].append(round(t, 3))
                     triples[cores] = n
+            if not (samples[small] and samples[big]):
+                continue
             times = {c: min(v) for c, v in samples.items()}
             out["scaling"][f"local{small}_to_local{big}"] = {
                 "replicate": rep,
