@@ -99,6 +99,52 @@ def test_stream_crawl_rollup_watermarked_windows(spark, tmp_path):
     assert rows.filter(F.col("count") > 1).count() == 0
 
 
+def test_stream_dedup_first_seen_multichunk_group(spark, tmp_path):
+    """A content group LARGER than arrow.maxRecordsPerBatch arrives in
+    the stateful UDF as several pandas chunks (the mirror-crawl
+    duplicate-heavy case). 'Earliest (warc_ts, url) wins' must hold
+    across chunk boundaries — the winner here is deliberately the LAST
+    input row, so any first-chunk-only implementation emits the wrong
+    copy."""
+    import datetime as dt
+
+    from uie_pytorch_spark.sources.web_pages import WEB_PAGES_SCHEMA
+    from uie_pytorch_spark.streaming import stream_dedup_first_seen
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    text = "mirror crawl body repeated verbatim across many urls"
+    t0 = dt.datetime(2024, 3, 1)
+    # DESCENDING timestamps: the earliest copy is the final row
+    rows = [
+        (
+            f"https://m{i}.example.org/p",
+            t0 + dt.timedelta(minutes=400 - i),
+            b"<html></html>",
+            text,
+            "en",
+        )
+        for i in range(300)
+    ]
+    spark.createDataFrame(rows, WEB_PAGES_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream_dedup_first_seen(spark, inp, out, ckpt)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0]["warc_ts"] == t0 + dt.timedelta(minutes=400 - 299)
+    assert got[0]["url"] == "https://m299.example.org/p"
+
+
 def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
     """applyInPandasWithState dedup: identical content arriving in a
     LATER micro-batch (recrawl/mirror) is suppressed by state; each

@@ -221,6 +221,43 @@ def test_nested_export_roundtrip(spark):
         )
 
 
+def test_relation_class_report_suffix_grouping(spark):
+    """F7 (reference utils.py:642-681): the relation class is the text
+    after the LAST '的' — rsplit('的', 1) semantics — and predicates
+    with no usable suffix (no '的', or '的' at the very end) fall back
+    to the whole predicate string."""
+    from uie_pytorch_spark.export import relation_class_report
+
+    rows = [
+        # multi-'的' name: class = after the LAST 的
+        ("爱的故事的歌手", "A", 0.9),
+        ("爱的故事的歌手", "B", 0.7),
+        # single-'的': same class as above
+        ("告别了的歌手", "A", 0.5),
+        # no '的' at all: falls back to itself — which equals the
+        # suffix class, so it groups WITH the rows above (exactly the
+        # reference's rsplit behavior: '歌手'.rsplit('的',1) == ['歌手'])
+        ("歌手", "C", 0.3),
+        # no '的', distinct class
+        ("出生地", "A", 1.0),
+        # trailing '的' (suffix empty): falls back to the whole name
+        ("所属的", "A", 0.4),
+    ]
+    triples = spark.createDataFrame(
+        rows, "pred: string, subj_text: string, obj_prob: double"
+    )
+    got = {
+        r["relation_class"]: (r["n_triples"], r["n_subjects"], r["mean_obj_prob"])
+        for r in relation_class_report(triples).collect()
+    }
+    assert set(got) == {"歌手", "出生地", "所属的"}
+    n, subj, mean = got["歌手"]
+    assert (n, subj) == (4, 3)
+    assert mean == pytest.approx((0.9 + 0.7 + 0.5 + 0.3) / 4)
+    assert got["出生地"] == (1, 1, pytest.approx(1.0))
+    assert got["所属的"] == (1, 1, pytest.approx(0.4))
+
+
 def test_relation_train_negatives_leftover_topup(spark, tmp_path):
     """Reference top-up semantics (utils.py:1067-1075): when a pool is
     thin, leftovers from the other pools fill the total back up to

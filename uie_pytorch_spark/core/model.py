@@ -406,7 +406,16 @@ def _onnx_backend(model_path: str):
                     "attention_mask": attention_mask,
                 },
             )
-            return s.astype(np.float32), e.astype(np.float32)
+            # Same post-sigmoid keep-mask as the numpy/torch backends
+            # (zero padding + CLS/SEP positions): an exported .onnx of
+            # the raw encoder must not reintroduce pad-garbage spans.
+            keep = attention_mask.astype(np.float32) * (
+                ~((input_ids == 1) | (input_ids == 2))
+            ).astype(np.float32)
+            return (
+                (s.astype(np.float32) * keep),
+                (e.astype(np.float32) * keep),
+            )
 
     return OnnxUIE(model_path)
 

@@ -211,6 +211,17 @@ class UIEEngine:
     def __init__(self, spark: SparkSession, schema, config: UIEConfig | None = None):
         self.spark = spark
         self.config = config or UIEConfig()
+        if not self.config.dedupe_inference:
+            import warnings
+
+            warnings.warn(
+                "UIEConfig.dedupe_inference=False is ignored: identical "
+                "(prompt, chunk) rows are ALWAYS deduplicated before "
+                "inference (duplicates would multiply span records "
+                "through the key join-back).",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         self.tree = build_tree(schema)
         # ops metrics (north rule: lineage + METRICS): accumulators
         # tick as inference tasks run — zero-cost observability of the
@@ -394,12 +405,15 @@ class UIEEngine:
             parent_results.select(self._child_prompt_col(node).alias("p"))
             .agg(F.max("p").alias("maxp"))
             .select(
-                F.coalesce(
-                    F.greatest(
+                F.greatest(
+                    # empty stage -> maxp NULL -> fall back to msl-3
+                    # BEFORE the greatest (any window works: there are
+                    # no rows to chunk)
+                    F.coalesce(
                         F.lit(msl) - F.length("maxp") - F.lit(3),
-                        F.lit(MIN_PREDICT_WINDOW),
+                        F.lit(msl - 3),
                     ),
-                    F.lit(msl - 3),  # empty stage: any window works
+                    F.lit(MIN_PREDICT_WINDOW),
                 )
                 .cast("int")
                 .alias("mpl")

@@ -1184,7 +1184,13 @@ QUERIES["uie_nested_export"] = uie_nested_export
 # Valid for the driver's correctness SF (sf0.01); the kernel is
 # bitwise-deterministic (batch-invariant model, BLAS pinned to one
 # thread on package import), so value hashes match exactly.
-_FROZEN = "/root/repo/tests/frozen"
+import os as _os
+
+_FROZEN = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests",
+    "frozen",
+)
 ORACLE_SQL["uie_entities"] = (
     f"SELECT * FROM read_parquet('{_FROZEN}/uie_entities.parquet')"
 )

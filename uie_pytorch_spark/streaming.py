@@ -144,14 +144,26 @@ def stream_dedup_first_seen(
     def first_seen(key, pdfs, state):
         if state.exists:
             return  # whole content group already emitted once
-        first = None
+        # A group exceeding arrow.maxRecordsPerBatch arrives as SEVERAL
+        # pandas chunks (exactly the mirror-crawl duplicate-heavy case
+        # this operator targets) — keep a running min across ALL chunks
+        # so "earliest (warc_ts, url) wins" holds regardless of chunking.
+        best = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.sort_values(["warc_ts", "url"]).head(1)
-        if first is None:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(["warc_ts", "url"]).head(1)
+            best = (
+                cand
+                if best is None
+                else pd.concat([best, cand]).sort_values(
+                    ["warc_ts", "url"]
+                ).head(1)
+            )
+        if best is None:
             return
         state.update((True,))
-        yield first[["content_hash", "url", "warc_ts", "text"]]
+        yield best[["content_hash", "url", "warc_ts", "text"]]
 
     deduped = pages.groupBy("content_hash").applyInPandasWithState(
         first_seen,
