@@ -20,6 +20,22 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _near_dup_edges(D, F, docs):
+    """The exact verified-edge subtree of D.near_dup_canonical (the
+    part before the iterative CC), kept in lockstep with the operator
+    so the audited plan is the shipped plan."""
+    hashed = docs.select(
+        "doc_id", F.col("text"), F.md5(F.col("text")).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("rep_id"), F.first("text").alias("text")
+    )
+    reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    sig = D.minhash_sig_array(reps, "text")
+    cands = D.lsh_candidate_pairs(sig)
+    return D.jaccard_pairs(reps, threshold=0.5, candidates=cands)
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -76,9 +92,11 @@ def main():
 
     # 4. minhash signature (partial-aggregatable groupBy)
     sections.append(
-        ("minhash_signature (explode -> salted hash -> min agg)",
-         "Expect partial_min before the Exchange (map-side combine) — the "
-         "shuffle carries one row per (doc, perm), not per shingle.",
+        ("minhash_signature (shingle explode -> 1 md5 + k affine perms -> k min aggs)",
+         "Expect ONE md5 per shingle (h60 appears once, the k permutation "
+         "columns are cheap arithmetic), partial_min for all k columns "
+         "before the Exchange (map-side combine) — the shuffle carries one "
+         "row per doc per partial, NOT per (shingle, perm).",
          plan_of(QUERIES["minhash_signature"](spark, SF)))
     )
 
@@ -106,7 +124,7 @@ def main():
     from uie_pytorch_spark.operators import dedup as D
 
     docs_j = docs_full.select("doc_id", "text").limit(200)
-    sig = D.minhash_signature(docs_j)
+    sig = D.minhash_sig_array(docs_j)
     cands = D.lsh_candidate_pairs(sig)
     sections.append(
         ("jaccard_pairs with LSH candidates (pushdown)",
@@ -129,9 +147,27 @@ def main():
          plan_of(
              D.jaccard_pairs(
                  docs_j, threshold=0.5,
-                 candidates=D.lsh_candidate_pairs(D.minhash_signature(docs_j)),
+                 candidates=D.lsh_candidate_pairs(D.minhash_sig_array(docs_j)),
              )
          ))
+    )
+
+    # 9. exact pre-collapse below the near-dup tier: the mirror-cluster
+    # hazard fix. The content-hash HashAggregate must sit BELOW the
+    # shingle explode (Generate) in the candidate branch, so identical
+    # documents are collapsed BEFORE any signature/banding work.
+    sections.append(
+        ("near_dup_canonical candidate branch (exact pre-collapse below the shingle explode)",
+         "Expect: a HashAggregate keyed by content_hash = md5(text) "
+         "(min(doc_id) representative) UNDER the Generate(explode) that "
+         "produces shingles — a mirror cluster of m identical docs "
+         "reaches MinHash/LSH as ONE row, so band buckets cannot go "
+         "quadratic in m. The final fan-out is an equi-join back on "
+         "content_hash. (Plan taken from near_dup_canonical's own "
+         "verified-edge subtree — the CC loop that consumes it is "
+         "iterative with lineage cuts, so the edge pipeline is the "
+         "auditable part.)",
+         plan_of(_near_dup_edges(D, F, docs_j)))
     )
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

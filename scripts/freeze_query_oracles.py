@@ -201,6 +201,16 @@ def _write(name, cols, rows, schema: pa.Schema):
 def main():
     import duckdb
 
+    # targets: regenerate everything by default, or a subset via argv
+    # (e.g. `freeze_query_oracles.py kg nested` after a hash-scheme or
+    # export-format change that leaves the inference kernel untouched —
+    # the kg/nested goldens are then derived from the existing frozen
+    # uie parquet instead of re-running eager inference).
+    targets = set(sys.argv[1:]) or {"uie", "kg", "nested"}
+    unknown = targets - {"uie", "kg", "nested"}
+    if unknown:
+        raise SystemExit(f"unknown freeze targets: {sorted(unknown)}")
+
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
         "ORDER BY doc_id"
@@ -208,10 +218,19 @@ def main():
     doc_ids = [r[0] for r in docs]
     texts = [r[1] for r in docs]
 
-    with Pool(min(16, os.cpu_count() or 8), initializer=_pool_init) as pool:
-        flag = PooledOracle(FLAGSHIP_SCHEMA, pool, lang="en").extract(texts)
-        ents = PooledOracle(ENTITY_SCHEMA, pool, lang="en").extract(texts)
+    flag = ents = None
+    if "uie" in targets:
+        with Pool(min(16, os.cpu_count() or 8), initializer=_pool_init) as pool:
+            flag = PooledOracle(FLAGSHIP_SCHEMA, pool, lang="en").extract(texts)
+            ents = PooledOracle(ENTITY_SCHEMA, pool, lang="en").extract(texts)
+        _write_uie(flag, ents, doc_ids)
+    if "kg" in targets:
+        _freeze_kg(ents, doc_ids)
+    if "nested" in targets:
+        _freeze_nested(flag, doc_ids)
 
+
+def _write_uie(flag, ents, doc_ids):
     _write(
         "uie_flagship_triples",
         ["doc_id", "subj_text", "subj_start", "subj_end", "pred",
@@ -237,11 +256,27 @@ def main():
     )
 
     # kg canonicalization: distinct entity surfaces, doc_id < 200
+
+
+def _freeze_kg(ents, doc_ids):
+    """kg_canonical_entities golden via the eager union-find pipeline.
+    When the uie goldens were not regenerated in this run, the surfaces
+    come from the existing frozen uie_entities.parquet (same rows)."""
     from eager_kg import canonicalize_surfaces
 
-    surfaces = sorted(
-        {r[2] for r in entity_rows(ents, doc_ids) if r[0] < 200}
-    )
+    if ents is not None:
+        surfaces = sorted(
+            {r[2] for r in entity_rows(ents, doc_ids) if r[0] < 200}
+        )
+    else:
+        t = pq.read_table(os.path.join(OUT_DIR, "uie_entities.parquet"))
+        surfaces = sorted(
+            {
+                t.column("text")[i].as_py()
+                for i in range(t.num_rows)
+                if t.column("doc_id")[i].as_py() < 200
+            }
+        )
     _write(
         "kg_canonical_entities",
         ["surface", "surface_norm", "canonical_surface_id"],
@@ -252,35 +287,29 @@ def main():
         ),
     )
 
-    # nested export: oracle spans + the shared export projection in a
-    # minimal local Spark session (to_json formatting is Spark's own)
-    from pyspark.sql import SparkSession
 
-    from uie_pytorch_spark.engine import RESULT_COLS
-    from uie_pytorch_spark.export import nested_results
+def _freeze_nested(flag, doc_ids):
+    """uie_nested_export golden: oracle spans + INDEPENDENT plain-Python
+    JSON rendering (eager_export.render_doc_json — matches Spark's
+    to_json byte format without importing uie_pytorch_spark.export, so
+    the nesting/formatting projection is NOT checked against itself).
+    When the uie goldens were not regenerated in this run, spans are
+    reconstructed from the frozen uie parquet: roots = uie_entities
+    (same prompts/kernel as the flagship root stage), children =
+    uie_flagship_triples."""
+    from eager_export import render_doc_json, span_rows_from_frozen
 
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .appName("freeze-nested")
-        .getOrCreate()
-    )
-    sdf = spark.createDataFrame(
-        span_table_rows(flag, doc_ids),
-        "doc_id: long, ex_id: long, node_path: string, node_name: string,"
-        " text: string, start: long, end: long, prob: double,"
-        " is_cls: boolean, parent_path: string, parent_text: string,"
-        " parent_start: long, parent_end: long, parent_prob: double",
-    ).select(RESULT_COLS)
-    nested = nested_results(sdf).orderBy("doc_id").collect()
+    if flag is not None:
+        rows = span_table_rows(flag, doc_ids)
+    else:
+        rows = span_rows_from_frozen(OUT_DIR)
+    nested = render_doc_json(rows)
     _write(
         "uie_nested_export",
         ["doc_id", "result_json"],
-        [(r["doc_id"], r["result_json"]) for r in nested],
+        nested,
         pa.schema([("doc_id", pa.int64()), ("result_json", pa.string())]),
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

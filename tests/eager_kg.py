@@ -15,6 +15,7 @@ from typing import Dict, List, Set, Tuple
 from xxh64 import xxh64_str
 
 from uie_pytorch_spark.core.textnorm import DBC_FROM, DBC_TO
+from uie_pytorch_spark.operators.hashing import MINHASH_COEFFS, MINHASH_PRIME
 
 _NORM_TABLE = str.maketrans(DBC_FROM + "　", DBC_TO + " ")
 _WS = re.compile(r"\s+")
@@ -38,18 +39,25 @@ def shingles(s: str, width: int = SHINGLE_W) -> Set[str]:
 
 
 def minhash_sig(sh: Set[str], k: int = K_PERMS) -> List[int]:
-    return [min(h60(f"{perm}#{g}") for g in sh) for perm in range(k)]
+    """Affine permutations over the low 32 bits of h60 — the same
+    (a*h32 + b) % P scheme (and the same fixed coefficients) as
+    operators/dedup.minhash_sig_array."""
+    hs = [h60(g) & 0xFFFFFFFF for g in sh]
+    return [
+        min((a * h + b) % MINHASH_PRIME for h in hs)
+        for (a, b) in MINHASH_COEFFS[:k]
+    ]
 
 
 def lsh_pairs(sigs: Dict[int, List[int]]) -> Set[Tuple[int, int]]:
     """sid -> signature; returns candidate (a < b) pairs sharing a
-    band hash (band hash = md5 of the lexicographically sorted string
-    forms, matching operators/dedup.lsh_candidate_pairs)."""
+    band hash (band hash = md5 of the PERM-ORDER string forms,
+    matching operators/dedup.band_hashes)."""
     rows = K_PERMS // BANDS
     buckets: Dict[Tuple[int, str], List[int]] = {}
     for sid, sig in sigs.items():
         for band in range(BANDS):
-            key = ",".join(sorted(str(m) for m in sig[band * rows : (band + 1) * rows]))
+            key = ",".join(str(m) for m in sig[band * rows : (band + 1) * rows])
             bh = hashlib.md5(key.encode()).hexdigest()
             buckets.setdefault((band, bh), []).append(sid)
     out: Set[Tuple[int, int]] = set()

@@ -176,12 +176,61 @@ def test_minhash_lsh_groups_near_duplicates(spark):
         ],
         "doc_id: long, text: string",
     )
-    sig = D.minhash_signature(docs)
+    sig = D.minhash_sig_array(docs)
     pairs = {
         (r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(sig).collect()
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+    # long format is exactly the exploded array signature
+    long = D.minhash_signature(docs).collect()
+    arr = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert len(long) == 3 * 12
+    for r in long:
+        assert arr[r["doc_id"]][r["perm"]] == r["minhash"]
+
+
+def test_near_dup_canonical_mirror_cluster_precollapse(spark):
+    """The web-scale hazard case: ONE content mirrored 1,000 times
+    (mirror crawls). The exact pre-collapse must (a) keep the near-dup
+    tier linear — the LSH candidate set over collapsed representatives
+    is O(#distinct contents), not O(m^2) — and (b) still canonicalize
+    every copy (and the near-dup variant) to the cluster's min doc id."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, base) for i in range(1000)]          # mirror cluster
+    rows.append((2000, base + " near dup tail"))     # near-dup of it
+    rows.append((3000, "entirely different page about spark internals"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    # candidate generation runs on one representative per content:
+    # exactly ONE pair (mirror-rep, near-dup) + nothing quadratic
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    cands = D.lsh_candidate_pairs(D.minhash_sig_array(reps)).collect()
+    assert len(cands) == 1 and (cands[0]["doc_a"], cands[0]["doc_b"]) == (0, 2000)
+
+    out = {r["doc_id"]: r["canonical_doc_id"]
+           for r in D.near_dup_canonical(docs, threshold=0.5).collect()}
+    assert len(out) == 1002
+    for i in range(1000):
+        assert out[i] == 0          # every mirror copy -> min doc id
+    assert out[2000] == 0           # near-dup joins the cluster
+    assert out[3000] == 3000        # unrelated doc maps to itself
+
+
+def test_lsh_bucket_cap_drops_oversized_buckets(spark):
+    """max_bucket_size: a band bucket with more members than the cap
+    contributes no pairs (boilerplate-family backstop); buckets at or
+    under the cap are unaffected."""
+    sig_rows = [(i, [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4]) for i in range(10)]
+    sig_rows += [(100, [9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6]),
+                 (101, [9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6])]
+    sig = spark.createDataFrame(sig_rows, "doc_id: long, sig: array<bigint>")
+    uncapped = D.lsh_candidate_pairs(sig).collect()
+    assert len(uncapped) == 10 * 9 // 2 + 1
+    capped = D.lsh_candidate_pairs(sig, max_bucket_size=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
 
 
 def test_engine_ops_metrics_accumulators(spark):

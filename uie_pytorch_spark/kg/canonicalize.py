@@ -63,7 +63,7 @@ def near_match_edges(
     docs = surfaces.select(
         F.col("sid").alias("doc_id"), F.col("surface_norm").alias("text")
     )
-    sig = D.minhash_signature(docs, width=shingle)
+    sig = D.minhash_sig_array(docs, width=shingle)
     cands = D.lsh_candidate_pairs(sig)
     verified = D.jaccard_pairs(
         docs, threshold=jaccard_threshold, width=shingle, candidates=cands

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import h60
+from .hashing import MINHASH_COEFFS, MINHASH_PRIME, h60
 
 DEFAULT_K = 12       # minhash permutations
 DEFAULT_BANDS = 4    # LSH bands (rows per band = K / BANDS)
@@ -51,42 +51,109 @@ def shingles(docs: DataFrame, text_col: str = "text", width: int = DEFAULT_SHING
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
+def minhash_sig_array(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    width: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint> of length k). ONE md5 per distinct
+    (doc, shingle) + k affine permutations (a*h32 + b) % P over the low
+    32 bits (hashing.MINHASH_COEFFS). Compared with hashing every
+    (perm, shingle) pair (round 2): k x less md5 work, and the groupBy
+    shuffles each shingle row ONCE with k parallel min buffers instead
+    of exploding it k times."""
+    if k > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"k={k} exceeds the {len(MINHASH_COEFFS)} fixed permutations"
+        )
+    sh = shingles(docs, text_col, width)
+    h32 = h60(F.col("shingle")).bitwiseAND(F.lit(4294967295))
+    proj = sh.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * h32 + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+        ],
+    )
+    agg = proj.groupBy("doc_id").agg(
+        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_signature(
     docs: DataFrame,
     text_col: str = "text",
     k: int = DEFAULT_K,
     width: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """(doc_id, perm, minhash): k permutations realised as salted
-    md5 hashes (portable to the DuckDB oracle); one groupBy, fully
-    map-side combinable."""
-    sh = shingles(docs, text_col, width)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm")
-    salted = sh.select("doc_id", "shingle", perms).withColumn(
-        "h", h60(F.concat(F.col("perm").cast("string"), F.lit("#"), F.col("shingle")))
+    """Long format (doc_id, perm, minhash) — posexplode of the array
+    signature (kept for oracle checking and downstream long-format
+    consumers)."""
+    return minhash_sig_array(docs, text_col, k, width).select(
+        "doc_id", F.posexplode("sig").alias("perm", "minhash")
     )
-    return salted.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def band_hashes(
+    sig: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_hash) from the array signature: band b
+    hashes sig[b*rows .. b*rows+rows-1] in perm order (no sort, no
+    collect_list — the banding is a single native projection)."""
+    rows_per_band = k // bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + j].cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_hash").alias("band_hash")
+    )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+    sig: DataFrame,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band the signature, bucket-join docs sharing a band hash.
-    Returns distinct (doc_a < doc_b) candidate pairs."""
-    rows_per_band = k // bands
-    banded = (
-        signatures.withColumn(
-            "band", F.floor(F.col("perm") / F.lit(rows_per_band)).cast("int")
+    """Band the array signature (minhash_sig_array output), bucket-join
+    docs sharing a band hash. Returns distinct (doc_a < doc_b)
+    candidate pairs.
+
+    ``max_bucket_size``: drop band buckets with more than this many
+    members before the self-join. A bucket of m docs emits m(m-1)/2
+    pairs — unbounded buckets are the one quadratic left in the
+    near-dup tier at web scale. Callers must collapse EXACT duplicates
+    first (near_dup_canonical does); buckets still above the cap after
+    that are boilerplate families whose pairwise linkage adds nothing
+    a cheaper exact/boilerplate tier doesn't. Default None = complete
+    candidate generation (the oracle-checked setting)."""
+    banded = band_hashes(sig, k, bands)
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_hash")
         )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",", F.array_sort(F.collect_list(F.col("minhash").cast("string")))
-                )
-            ).alias("band_hash")
-        )
-    )
+        banded = banded.join(ok, ["band", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -164,37 +231,69 @@ def near_dup_canonical(
     threshold: float = 0.5,
     text_col: str = "text",
     width: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate document canonicalization — the
     corpus-dedup composition a web-text pipeline runs before training:
-    MinHash -> LSH banding (candidates) -> exact Jaccard verify (on
-    candidates ONLY) -> connected components over verified edges ->
-    (doc_id, canonical_doc_id = min doc id of the near-dup cluster;
-    docs in no cluster map to themselves). Keeping `WHERE doc_id =
+    EXACT pre-collapse (content hash) -> MinHash -> LSH banding
+    (candidates) -> exact Jaccard verify (on candidates ONLY) ->
+    connected components over verified edges -> fan the canonical id
+    back out through the exact-dup map. Returns (doc_id,
+    canonical_doc_id = min doc id of the duplicate cluster; docs in no
+    cluster map to themselves). Keeping `WHERE doc_id =
     canonical_doc_id` yields the deduplicated corpus.
 
-    Scale shape: every step is the audited scale path (banded
-    equi-join, candidate-pushdown Jaccard, small/large-star CC with
-    per-round lineage cuts); no all-pairs work anywhere."""
+    The pre-collapse is the web-scale load-bearer: identical documents
+    have identical signatures, so a mirror cluster of m copies would
+    land whole in every band bucket and emit m(m-1)/2 candidate pairs
+    per band — quadratic on exactly the duplication dedup exists for
+    (mirror crawls). Collapsing to one representative per distinct
+    content first makes that cluster cost O(1) in the near-dup tier,
+    and provably does not change the output: identical contents share
+    all shingles, so the old pipeline always merged them (Jaccard = 1)
+    and every rep-level edge existed doc-level and vice versa. The
+    min-rep of a merged component equals the min doc id of the full
+    cluster because each rep is already its content group's min.
+
+    Scale shape: every step is the audited scale path (one content-hash
+    groupBy, banded equi-join, candidate-pushdown Jaccard,
+    small/large-star CC with per-round lineage cuts); no all-pairs work
+    anywhere. ``max_bucket_size`` additionally caps LSH band buckets
+    (see lsh_candidate_pairs) as the backstop for near-identical — not
+    identical — boilerplate families."""
     from ..kg.canonicalize import connected_components  # local: avoids cycle
 
-    sig = minhash_signature(docs, text_col, width=width)
-    cands = lsh_candidate_pairs(sig)
+    hashed = docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    # one representative (min doc_id) per distinct content; F.first on
+    # text is deterministic here — every text in the group is identical
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("rep_id"), F.first("text").alias("text")
+    )
+    reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
+
+    sig = minhash_sig_array(reps, "text", width=width)
+    cands = lsh_candidate_pairs(sig, max_bucket_size=max_bucket_size)
     verified = jaccard_pairs(
-        docs, threshold=threshold, text_col=text_col, width=width,
+        reps, threshold=threshold, text_col="text", width=width,
         candidates=cands,
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comps = connected_components(verified)
-    return (
-        docs.select("doc_id")
-        .join(comps, docs["doc_id"] == comps["id"], "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                "canonical_doc_id"
-            ),
-        )
+
+    rep_canon = groups.select("content_hash", "rep_id").join(
+        comps, F.col("rep_id") == comps["id"], "left"
+    ).select(
+        "content_hash",
+        F.coalesce(F.col("component"), F.col("rep_id")).alias(
+            "canonical_doc_id"
+        ),
     )
+    return hashed.select("doc_id", "content_hash").join(
+        rep_canon, "content_hash"
+    ).select("doc_id", "canonical_doc_id")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:

@@ -30,21 +30,33 @@ def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
 
 
-# Parameters of the k independent minhash permutations: classic
-# (a*h + b) mod p universal hashing over the 60-bit base hash.
-MINHASH_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne)
+# MinHash permutations: classic (a*h32 + b) mod p universal hashing
+# over the LOW 32 BITS of the md5-derived base hash. One base hash per
+# shingle + k cheap affine mixes replaces k md5 calls per shingle (the
+# round-2 scheme) — ~k x less hashing and a k-times-smaller shuffle.
+#
+# Overflow contract (Spark 4 ANSI mode: bigint overflow THROWS):
+#   h32 < 2^32, a < 2^31, b < 2^31  =>  a*h32 + b < 2^63. Both engines
+# evaluate the expression in exact signed-64 arithmetic.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
-
-def minhash_params(k: int, seed: int = 7):
-    """Deterministic (a, b) pairs — small odd multipliers derived from
-    a linear congruence so both engines can inline them as literals."""
-    params = []
-    a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
-    x = seed
-    for _ in range(k):
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 61)
-        a_i = (x | 1) % MINHASH_PRIME
-        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 61)
-        b_i = x % MINHASH_PRIME
-        params.append((a_i, b_i))
-    return params
+# Fixed literals (random.Random(20260816)) so Spark, DuckDB oracle SQL
+# and the eager Python oracle inline the SAME constants.
+MINHASH_COEFFS = [
+    (1864550318, 2014205137),
+    (751060713, 2002287815),
+    (616008998, 40920674),
+    (1595354702, 1609944094),
+    (1542395096, 1727607202),
+    (316175860, 1540964996),
+    (1041917222, 1408451663),
+    (1923919257, 1995855315),
+    (857565296, 843102230),
+    (133847858, 953394251),
+    (277455873, 1628151810),
+    (382193402, 1483498833),
+    (2049709813, 1249365397),
+    (1256990088, 1765669222),
+    (235210066, 620635567),
+    (42998692, 1193949114),
+]

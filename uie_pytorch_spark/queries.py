@@ -24,7 +24,7 @@ from .core.textnorm import DBC_FROM, DBC_TO
 from .operators import dedup as D
 from .operators import similarity as SIM
 from .operators import textstats as TS
-from .operators.hashing import h60, h60_sql
+from .operators.hashing import MINHASH_COEFFS, MINHASH_PRIME, h60, h60_sql
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -475,19 +475,27 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+_MINHASH_PERMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS[:12])
+)
+
+# sub-CTE set shared by the minhash/LSH/near-dup oracles: one md5 per
+# distinct (doc, shingle), low 32 bits, k affine permutations — the
+# same formulation as operators.dedup.minhash_sig_array
 _MINHASH_SQL = f"""
-    WITH sh AS (
+    WITH msh AS (
       SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
       FROM documents d,
            LATERAL (SELECT unnest(generate_series(1,
                       greatest(length(d.text) - 4, 1))) AS i) gs
-    ), salted AS (
-      SELECT doc_id, p.perm,
-             {h60_sql("CAST(p.perm AS VARCHAR) || '#' || shingle")} AS h
-      FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS perm) p
+    ), mh32 AS (
+      SELECT doc_id, ({h60_sql("shingle")} & 4294967295) AS h32 FROM msh
+    ), mperm(perm, a, b) AS (
+      VALUES {_MINHASH_PERMS_VALUES}
     )
-    SELECT doc_id, CAST(perm AS INT) AS perm, CAST(min(h) AS BIGINT) AS minhash
-    FROM salted GROUP BY doc_id, perm
+    SELECT doc_id, CAST(p.perm AS INT) AS perm,
+           CAST(min((p.a * h32 + p.b) % {MINHASH_PRIME}) AS BIGINT) AS minhash
+    FROM mh32, mperm p GROUP BY doc_id, p.perm
 """
 
 
@@ -504,7 +512,7 @@ def minhash_signature(spark, sf_dir):
     WITH sig AS ({_MINHASH_SQL}),
     banded AS (
       SELECT doc_id, CAST(perm // 3 AS INT) AS band,
-             md5(array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',')) AS band_hash
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
       FROM sig GROUP BY doc_id, CAST(perm // 3 AS INT)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -513,7 +521,7 @@ def minhash_signature(spark, sf_dir):
     """,
 )
 def lsh_candidate_pairs(spark, sf_dir):
-    sig = D.minhash_signature(_t(spark, sf_dir, "documents"))
+    sig = D.minhash_sig_array(_t(spark, sf_dir, "documents"))
     return D.lsh_candidate_pairs(sig)
 
 
@@ -553,7 +561,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     WITH RECURSIVE sig AS ({_MINHASH_SQL}),
     banded AS (
       SELECT doc_id, CAST(perm // 3 AS INT) AS band,
-             md5(array_to_string(list_sort(list(CAST(minhash AS VARCHAR))), ',')) AS band_hash
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
       FROM sig GROUP BY doc_id, CAST(perm // 3 AS INT)
     ),
     cand AS (
