@@ -171,14 +171,18 @@ def vote_max_by(spark, sf_dir):
     "anti_join_negatives",
     """
     SELECT c.c_custkey, c.c_name
-    FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    FROM customer c ANTI JOIN
+         (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
     """,
 )
 def anti_join_negatives(spark, sf_dir):
     """T1/E4: the negative-sampling anti-join (labels/customers with
-    no positives/orders)."""
+    no positives — here: no high-value orders; the positive set is
+    filtered so the anti-join is non-empty at the driver's SF, where
+    every customer has at least one order)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -465,14 +469,31 @@ def unify_prompt_name(spark, sf_dir):
 @query(
     "dedup_exact",
     """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 25 = 0
+    )
     SELECT md5(text) AS content_hash,
            CAST(count(*) AS BIGINT) AS n_dups,
            CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
-    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
     """,
 )
 def dedup_exact(spark, sf_dir):
-    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    """Exact dedup over a corpus with deterministic mirror copies
+    (the driver fixture has no exact duplicates, which made this a
+    0-row oracle check): every 25th doc is re-crawled under a shifted
+    id, so the hash-groupBy must surface those groups with the
+    ORIGINAL id as canonical."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return D.exact_dup_groups(corpus)
 
 
 _MINHASH_PERMS_VALUES = ", ".join(
@@ -528,7 +549,12 @@ def lsh_candidate_pairs(spark, sf_dir):
 @query(
     "ngram_jaccard_pairs",
     """
-    WITH docs AS (SELECT * FROM documents WHERE doc_id < 120),
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' mirrored with tail'
+      FROM documents WHERE doc_id < 40
+    ),
     sh AS (
       SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
       FROM docs d,
@@ -551,7 +577,16 @@ def lsh_candidate_pairs(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    """All-pairs Jaccard over a slice plus deterministic NEAR-dup rows
+    (original text + a short tail: ~0.9 Jaccard) so the >= 0.5 filter
+    is exercised on non-empty output at the driver's SF."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") < 120).unionByName(
+        d.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" mirrored with tail")).alias("text"),
+        )
+    )
     return D.jaccard_pairs(docs, threshold=0.5)
 
 
@@ -750,7 +785,18 @@ _EMB_FLAT = """
 @query(
     "embedding_near_dup",
     f"""
-    WITH flat AS ({_EMB_FLAT}),
+    WITH emb_dup AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 10
+    ),
+    flat AS (
+      SELECT vec_id, gs.i - 1 AS i,
+             CAST(embedding[gs.i] AS DECIMAL(9,6)) AS xd
+      FROM emb_dup,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+    ),
     norms AS (SELECT vec_id, CAST(sum(xd * xd) AS DOUBLE) AS norm2
               FROM flat GROUP BY vec_id),
     dots AS (
@@ -766,8 +812,17 @@ _EMB_FLAT = """
     """,
 )
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup in exact decimal arithmetic."""
-    return SIM.cosine_near_dup(_t(spark, sf_dir, "embeddings"), tau=0.9)
+    """Embedding-cosine near-dup in exact decimal arithmetic, over the
+    corpus plus deterministic re-embedded copies (vec_id < 10 shifted)
+    — the driver fixture's random vectors have no cosine >= 0.9 pairs,
+    which made this a 0-row oracle check."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = e.unionByName(
+        e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return SIM.cosine_near_dup(emb, tau=0.9)
 
 
 @query(
