@@ -221,6 +221,90 @@ def test_nested_export_roundtrip(spark):
         )
 
 
+def _flat_tuples(spans):
+    from uie_pytorch_spark.engine import RESULT_COLS
+
+    return [tuple(r[c] for c in RESULT_COLS) for r in spans.collect()]
+
+
+def test_nested_export_matches_eager_renderer(spark):
+    """Byte-equality of the Spark export against the INDEPENDENT
+    plain-Python renderer (tests/eager_export.py) over the same flat
+    rows — ordering, map-key sorting, null-field omission, and float
+    rendering all included. This is what makes the frozen
+    uie_nested_export golden independent of export.nested_results."""
+    from eager_export import render_doc_json
+    from uie_pytorch_spark.engine import UIEConfig, UIEEngine
+    from uie_pytorch_spark.export import nested_results
+    from uie_pytorch_spark.sources.web_pages import generate_fixture_rows
+
+    texts = [r[3] for r in generate_fixture_rows(n_docs=30, seed=11)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    spans = UIEEngine(
+        spark, {"竞赛名称": ["主办方", "承办方"]}, UIEConfig()
+    ).extract(docs)
+    got = {
+        r["doc_id"]: r["result_json"]
+        for r in nested_results(spans, max_depth=2).collect()
+    }
+    want = dict(render_doc_json(_flat_tuples(spans)))
+    assert got == want
+
+
+def test_nested_export_depth3_engine_vs_oracle(spark):
+    """Depth-3 schema (subject -> predicate -> qualifier): the engine's
+    flat spans must match the eager oracle, depth-3 rows must exist,
+    and the nested export must round-trip the third level — checked
+    byte-for-byte against the independent renderer (max_depth left
+    None to exercise the discovery path)."""
+    import json
+
+    from eager_export import render_doc_json
+    from oracle_uie import OracleUIE, flat_spans
+    from uie_pytorch_spark.engine import UIEConfig, UIEEngine
+    from uie_pytorch_spark.export import nested_results
+    from uie_pytorch_spark.sources.web_pages import generate_fixture_rows
+
+    schema = {"竞赛名称": [{"主办方": ["时间"]}]}
+    texts = [r[3] for r in generate_fixture_rows(n_docs=25, seed=11)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+
+    oracle_spans = flat_spans(OracleUIE(schema).extract(texts))
+    spans = UIEEngine(spark, schema, UIEConfig()).extract(docs)
+    s_spans = {
+        (r["doc_id"], r["node_path"], r["text"], r["start"], r["end"],
+         round(r["prob"], 6))
+        for r in spans.collect()
+    }
+    assert s_spans == oracle_spans
+
+    flat = _flat_tuples(spans)
+    assert any(t[2].count("/") == 2 for t in flat), "no depth-3 spans found"
+
+    got = {
+        r["doc_id"]: r["result_json"]
+        for r in nested_results(spans).collect()
+    }
+    want = dict(render_doc_json(flat))
+    assert got == want
+
+    # the third level is nested inside the second in at least one doc
+    deep = [
+        s
+        for res in got.values()
+        for spans_ in json.loads(res).values()
+        for s in spans_
+        for rel in s.get("relations", {}).values()
+        for c in rel
+        if c.get("relations")
+    ]
+    assert deep, "no depth-3 relations nested in the export"
+
+
 def test_relation_class_report_suffix_grouping(spark):
     """F7 (reference utils.py:642-681): the relation class is the text
     after the LAST '的' — rsplit('的', 1) semantics — and predicates

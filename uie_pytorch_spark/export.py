@@ -1,12 +1,23 @@
 """Result export (SURVEY A6 / S6): reconstruct the reference's nested
 per-document result shape from the flat span table — ONLY at export
-time (the engine never shuffles nested structures). Depth-2 (root
-spans + their relations), which covers every README schema; deeper
-trees export as additional levels of the flat triple table.
+time (the engine never shuffles nested structures). Arbitrary schema
+depth: levels are attached bottom-up, one grouped aggregation + one
+identity join per level (uie_predictor.py:285-313 attaches children
+recursively the same way, eagerly).
 
 Reference shape (uie_predictor.py:273-313, README.md:241-268):
     {node_name: [ {text, start, end, probability,
                    relations: {child_name: [ {...} ]}} ]}
+
+Leaves carry no "relations" key (Spark's to_json omits null fields —
+byte-identical to the reference's absent key).
+
+Ordering contract (deterministic export; mirrored by the independent
+eager renderer in tests/eager_export.py):
+  * span arrays below the root sort by (text, start, end, probability)
+    with null offsets as -1;
+  * root span arrays sort by (start, end, text) with null offsets -1;
+  * every relations/result map sorts its keys by node name.
 """
 
 from __future__ import annotations
@@ -25,79 +36,161 @@ def _span_struct(prefix: str = ""):
     )
 
 
-def nested_results(spans: DataFrame) -> DataFrame:
-    """Flat span table (engine.RESULT_COLS) -> one row per doc with a
-    JSON string in the reference's nested format (depth 2)."""
-    roots = spans.filter(F.col("parent_path").isNull())
-    children = spans.filter(F.col("parent_path").isNotNull())
-
-    child_groups = children.groupBy(
-        "doc_id",
-        "parent_path",
-        "parent_text",
-        "parent_start",
-        "parent_end",
-        "node_name",
-    ).agg(F.sort_array(F.collect_list(_span_struct())).alias("child_spans"))
-
-    rel_maps = child_groups.groupBy(
-        "doc_id", "parent_path", "parent_text", "parent_start", "parent_end"
-    ).agg(
-        F.map_from_entries(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("node_name"), F.col("child_spans")))
-            )
-        ).alias("relations")
+def _by_name(a, b):
+    return (
+        F.when(a["node_name"] < b["node_name"], -1)
+        .when(a["node_name"] > b["node_name"], 1)
+        .otherwise(0)
     )
 
+
+def _cmp_child(a, b):
+    """(text, start, end, probability), null offsets -> -1. Explicit
+    comparator because enriched spans contain a map field (not
+    naturally orderable)."""
+    key = lambda s: F.struct(  # noqa: E731
+        s["text"].alias("t"),
+        F.coalesce(s["start"], F.lit(-1)).alias("s"),
+        F.coalesce(s["end"], F.lit(-1)).alias("e"),
+        s["probability"].alias("p"),
+    )
+    return F.when(key(a) < key(b), -1).when(key(a) > key(b), 1).otherwise(0)
+
+
+def _cmp_root(a, b):
+    key = lambda s: F.struct(  # noqa: E731
+        F.coalesce(s["start"], F.lit(-1)).alias("s"),
+        F.coalesce(s["end"], F.lit(-1)).alias("e"),
+        s["text"].alias("t"),
+    )
+    return F.when(key(a) < key(b), -1).when(key(a) > key(b), 1).otherwise(0)
+
+
+def nested_results(spans: DataFrame, max_depth: int | None = None) -> DataFrame:
+    """Flat span table (engine.RESULT_COLS) -> one row per doc with a
+    JSON string in the reference's nested format, to the full depth of
+    the schema. ``max_depth``: number of levels in the deepest
+    node_path; pass it when known (the engine's schema tree knows) to
+    keep the export a single lazy DAG — None runs one tiny 1-row agg
+    job over the span table to discover it."""
+    depth_col = F.size(F.split(F.col("node_path"), "/"))
+    spans = spans.withColumn("_depth", depth_col)
+    if max_depth is None:
+        max_depth = (
+            spans.agg(F.max("_depth").alias("d")).collect()[0]["d"] or 1
+        )
+
+    # bottom-up: relations maps of level d+1 attach to spans of level d
+    rel_of: DataFrame | None = None  # parent-identity -> relations map
+    for d in range(max_depth, 1, -1):
+        cur = spans.filter(F.col("_depth") == d)
+        if rel_of is None:
+            enriched = cur.withColumn("span", _span_struct())
+        else:
+            c = cur.alias("c")
+            g = rel_of.alias("g")
+            enriched = c.join(
+                g,
+                on=(
+                    (F.col("c.doc_id") == F.col("g.p_doc_id"))
+                    & (F.col("c.node_path") == F.col("g.p_path"))
+                    & (F.col("c.text") == F.col("g.p_text"))
+                    & F.col("c.start").eqNullSafe(F.col("g.p_start"))
+                    & F.col("c.end").eqNullSafe(F.col("g.p_end"))
+                ),
+                how="left",
+            ).select(
+                *[F.col(f"c.{x}").alias(x) for x in (
+                    "doc_id", "node_name",
+                    "parent_path", "parent_text", "parent_start",
+                    "parent_end",
+                )],
+                F.struct(
+                    F.col("c.text").alias("text"),
+                    F.col("c.start").alias("start"),
+                    F.col("c.end").alias("end"),
+                    F.col("c.prob").alias("probability"),
+                    F.col("g.relations").alias("relations"),
+                ).alias("span"),
+            )
+        child_groups = enriched.groupBy(
+            "doc_id",
+            "parent_path",
+            "parent_text",
+            "parent_start",
+            "parent_end",
+            "node_name",
+        ).agg(
+            F.array_sort(F.collect_list("span"), _cmp_child).alias(
+                "child_spans"
+            )
+        )
+        rel_of = child_groups.groupBy(
+            "doc_id", "parent_path", "parent_text", "parent_start",
+            "parent_end",
+        ).agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("node_name", "child_spans")),
+                    _by_name,
+                )
+            ).alias("relations")
+        ).select(
+            F.col("doc_id").alias("p_doc_id"),
+            F.col("parent_path").alias("p_path"),
+            F.col("parent_text").alias("p_text"),
+            F.col("parent_start").alias("p_start"),
+            F.col("parent_end").alias("p_end"),
+            "relations",
+        )
+
+    roots = spans.filter(F.col("parent_path").isNull())
     r = roots.select(
         "doc_id", "node_path", "node_name", "text", "start", "end", "prob"
     ).alias("r")
-    g = rel_maps.alias("g")
-    enriched = r.join(
-        g,
-        on=(
-            (F.col("r.doc_id") == F.col("g.doc_id"))
-            & (F.col("r.node_path") == F.col("g.parent_path"))
-            & (F.col("r.text") == F.col("g.parent_text"))
-            & F.col("r.start").eqNullSafe(F.col("g.parent_start"))
-            & F.col("r.end").eqNullSafe(F.col("g.parent_end"))
-        ),
-        how="left",
-    ).select(
-        F.col("r.doc_id").alias("doc_id"),
-        F.col("r.node_name").alias("node_name"),
-        F.struct(
-            F.col("r.text").alias("text"),
-            F.col("r.start").alias("start"),
-            F.col("r.end").alias("end"),
-            F.col("r.prob").alias("probability"),
-            F.col("g.relations").alias("relations"),
-        ).alias("span"),
-    )
-
-    # spans contain a map field -> not naturally orderable; sort with
-    # an explicit comparator over (start, end, text) for deterministic
-    # export
-    def _cmp(a, b):
-        key = lambda s: F.struct(  # noqa: E731
-            F.coalesce(s["start"], F.lit(-1)).alias("s"),
-            F.coalesce(s["end"], F.lit(-1)).alias("e"),
-            s["text"].alias("t"),
+    if rel_of is None:
+        enriched = r.select(
+            "doc_id",
+            "node_name",
+            F.struct(
+                F.col("text"),
+                F.col("start"),
+                F.col("end"),
+                F.col("prob").alias("probability"),
+            ).alias("span"),
         )
-        return F.when(key(a) < key(b), -1).when(key(a) > key(b), 1).otherwise(0)
+    else:
+        g = rel_of.alias("g")
+        enriched = r.join(
+            g,
+            on=(
+                (F.col("r.doc_id") == F.col("g.p_doc_id"))
+                & (F.col("r.node_path") == F.col("g.p_path"))
+                & (F.col("r.text") == F.col("g.p_text"))
+                & F.col("r.start").eqNullSafe(F.col("g.p_start"))
+                & F.col("r.end").eqNullSafe(F.col("g.p_end"))
+            ),
+            how="left",
+        ).select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.node_name").alias("node_name"),
+            F.struct(
+                F.col("r.text").alias("text"),
+                F.col("r.start").alias("start"),
+                F.col("r.end").alias("end"),
+                F.col("r.prob").alias("probability"),
+                F.col("g.relations").alias("relations"),
+            ).alias("span"),
+        )
 
     per_node = enriched.groupBy("doc_id", "node_name").agg(
-        F.array_sort(F.collect_list("span"), _cmp).alias("spans")
+        F.array_sort(F.collect_list("span"), _cmp_root).alias("spans")
     )
     return per_node.groupBy("doc_id").agg(
         F.to_json(
             F.map_from_entries(
                 F.array_sort(
-                    F.collect_list(F.struct("node_name", "spans")),
-                    lambda a, b: F.when(
-                        a["node_name"] < b["node_name"], -1
-                    ).when(a["node_name"] > b["node_name"], 1).otherwise(0),
+                    F.collect_list(F.struct("node_name", "spans")), _by_name
                 )
             )
         ).alias("result_json")

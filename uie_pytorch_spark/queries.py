@@ -1235,7 +1235,7 @@ def uie_nested_export(spark, sf_dir):
     _, _, spans = _uie_engine(
         spark, sf_dir, {"subject entity": ["related fact"]}
     )
-    return nested_results(spans).orderBy("doc_id")
+    return nested_results(spans, max_depth=2).orderBy("doc_id")
 
 
 QUERIES["uie_nested_export"] = uie_nested_export
