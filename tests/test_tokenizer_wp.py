@@ -82,6 +82,104 @@ def test_piece_ids_deterministic_across_calls():
     assert np.array_equal(a, b)
 
 
+_TOY_VOCAB = (
+    ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    + ["the", "of", "person", "company", "play", "found"]
+    + ["##ing", "##ed", "##er", "##s", "##ation"]
+    + [c for c in "abcdefghijklmnopqrstuvwxyz0123456789'"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789'"]
+    + [",", ".", "!", "?"]
+)
+
+
+def _write_vocab(tmp_path, name="uie_vocab_test.txt"):
+    p = tmp_path / name
+    p.write_text("\n".join(_TOY_VOCAB) + "\n", encoding="utf-8")
+    return p
+
+
+def test_vocab_wordpiece_semantics(tmp_path):
+    """Real-vocab mode follows HF WordPiece: longest-match-first
+    against the FILE's tokens, '##' continuation lookups, and a word
+    with no coverable remainder becomes ONE [UNK] spanning the word."""
+    from uie_pytorch_spark.core.tokenizer import (
+        WordpieceVocab,
+        load_vocab,
+        wordpiece_spans_vocab,
+    )
+
+    vocab = load_vocab(str(_write_vocab(tmp_path)))
+    assert isinstance(vocab, WordpieceVocab)
+    # 'playing' -> 'play' + '##ing' (longest match, continuation id)
+    s = "playing"
+    pieces = [(a, b, s[a:b], t) for a, b, t in wordpiece_spans_vocab(s, vocab)]
+    assert [(p[2]) for p in pieces] == ["play", "ing"]
+    assert pieces[0][3] == _TOY_VOCAB.index("play")
+    assert pieces[1][3] == _TOY_VOCAB.index("##ing")
+    # CJK char absent from the vocab -> whole-'word' [UNK] with the
+    # word's span as offsets
+    s2 = "play 北"
+    got = wordpiece_spans_vocab(s2, vocab)
+    assert got[-1] == (5, 6, _TOY_VOCAB.index("[UNK]"))
+    # every ascii word is coverable via single-char fallbacks
+    s3 = "zzyzx"
+    got3 = wordpiece_spans_vocab(s3, vocab)
+    assert [s3[a:b] for a, b, _ in got3] == list(s3)
+    assert got3[1][2] == _TOY_VOCAB.index("##z")
+
+
+def test_vocab_load_cached_and_sparkfiles_fallback(tmp_path, monkeypatch):
+    from uie_pytorch_spark.core import tokenizer as TK
+
+    p = _write_vocab(tmp_path)
+    v1 = TK.load_vocab(str(p))
+    assert TK.load_vocab(str(p)) is v1  # per-process cache
+    # non-local path resolves through SparkFiles staging
+    import pyspark
+
+    monkeypatch.setattr(
+        pyspark.SparkFiles, "get", staticmethod(lambda n: str(tmp_path / n))
+    )
+    v2 = TK.load_vocab("/not/a/real/dir/uie_vocab_test.txt")
+    assert v2.index == v1.index
+
+
+def test_engine_vocab_file_matches_oracle_via_sparkfiles(spark, tmp_path):
+    """The vocab-file seam end-to-end: vocab shipped with sc.addFile,
+    engine configured with a NON-local path (forcing executor-side
+    SparkFiles resolution), output equal to the eager oracle reading
+    the local file — same suite green with a real vocab slotted in."""
+    from oracle_uie import OracleUIE, flat_spans
+    from uie_pytorch_spark.engine import UIEConfig, UIEEngine
+    from uie_pytorch_spark.sources.web_pages import generate_fixture_rows
+
+    p = _write_vocab(tmp_path)
+    spark.sparkContext.addFile(str(p))
+
+    rows = generate_fixture_rows(n_docs=15, seed=29)
+    texts = [r[3] for r in rows]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    schema = {"Person": ["Company"]}
+    o = flat_spans(
+        OracleUIE(
+            schema, lang="en", tokenizer=f"wordpiece-en@{p}"
+        ).extract(texts)
+    )
+    eng = UIEEngine(
+        spark,
+        schema,
+        UIEConfig(lang="en", tokenizer="wordpiece-en@uie_vocab_test.txt"),
+    )
+    s = {
+        (r["doc_id"], r["node_path"], r["text"], r["start"], r["end"],
+         round(r["prob"], 6))
+        for r in eng.extract(docs).collect()
+    }
+    assert s == o and s
+
+
 def test_engine_wordpiece_matches_oracle(spark):
     """Distributed engine == eager oracle under wordpiece-en, including
     the slicing invariant (spans snap to piece boundaries)."""

@@ -221,6 +221,115 @@ def encode_pair_wp(prompt: str, text: str, max_seq_len: int = 512):
     }
 
 
+# ---------------------------------------------------------------------
+# Vocab-file wordpiece ("wordpiece-en@<path>")
+#
+# The swap-in seam for a REAL BERT vocab (reference
+# uie_predictor.py:160-167 loads the checkpoint's tokenizer files):
+# ship vocab.txt to executors exactly like the model artifact
+# (sc.addFile / --files) and set UIEConfig(tokenizer=
+# "wordpiece-en@vocab.txt") — no code changes. Semantics follow HF
+# WordPiece: greedy longest-match-first against the vocab, "##"
+# continuation prefix, and a word whose remainder has NO vocab match
+# becomes one [UNK] token spanning the whole word (offsets = the word
+# span, which is what the HF fast tokenizer reports). Token ids are the
+# vocab line numbers folded into the TinyUIE embedding range; a real
+# checkpoint swap replaces forward() and this fold together.
+# ---------------------------------------------------------------------
+
+
+class WordpieceVocab:
+    __slots__ = ("index", "max_len", "unk_id")
+
+    def __init__(self, tokens: Sequence[str]):
+        self.index = {}
+        for i, t in enumerate(tokens):
+            self.index.setdefault(t, i)
+        self.max_len = max((len(t) for t in self.index), default=1)
+        self.unk_id = self.index.get("[UNK]", 0)
+
+
+def load_vocab(path: str) -> WordpieceVocab:
+    """Per-process cached vocab load; resolves through SparkFiles when
+    the path is not local (same staging contract as model artifacts)."""
+    v = _VOCAB_CACHE.get(path)
+    if v is None:
+        from .model import resolve_artifact
+
+        with open(resolve_artifact(path), encoding="utf-8") as f:
+            toks = [ln.rstrip("\n") for ln in f if ln.strip()]
+        v = _VOCAB_CACHE[path] = WordpieceVocab(toks)
+    return v
+
+
+_VOCAB_CACHE: dict = {}
+
+
+def wordpiece_spans_vocab(s: str, vocab: WordpieceVocab) -> List[tuple]:
+    """(start, end, token_id) piece spans against a real vocab file:
+    greedy longest-match-first, '##' continuations, whole-word [UNK]
+    fallback (HF WordPiece semantics)."""
+    pieces: List[tuple] = []
+    for w0, w1 in basic_spans(s):
+        word = s[w0:w1].lower()
+        k = 0
+        word_pieces: List[tuple] = []
+        while k < len(word):
+            end = min(len(word), k + vocab.max_len)
+            match = None
+            for m in range(end - k, 0, -1):
+                tid = vocab.index.get(("##" if k else "") + word[k : k + m])
+                if tid is not None:
+                    match = (m, tid)
+                    break
+            if match is None:
+                word_pieces = [(w0, w1, vocab.unk_id)]
+                break
+            word_pieces.append((w0 + k, w0 + k + match[0], match[1]))
+            k += match[0]
+        pieces.extend(word_pieces)
+    return pieces
+
+
+def encode_pair_wp_vocab(
+    prompt: str, text: str, max_seq_len: int, vocab: WordpieceVocab
+):
+    """Vocab-file variant of ``encode_pair_wp``: same contract; piece
+    ids come from the vocab (folded into the embedding range)."""
+    pp = wordpiece_spans_vocab(prompt, vocab)
+    if len(pp) > max_seq_len - 3:
+        pp = pp[: max_seq_len - 3]
+    budget = max_seq_len - 3 - len(pp)
+    tp = wordpiece_spans_vocab(text, vocab)[: max(budget, 0)]
+
+    lp, lt = len(pp), len(tp)
+    L = 1 + lp + 1 + lt + 1
+    ids = np.empty(L, dtype=np.int64)
+    ids[0] = CLS_ID
+    ids[1 : 1 + lp] = [VOCAB_OFFSET + (t % VOCAB_CHARS) for (_a, _b, t) in pp]
+    ids[1 + lp] = SEP_ID
+    ids[2 + lp : 2 + lp + lt] = [
+        VOCAB_OFFSET + (t % VOCAB_CHARS) for (_a, _b, t) in tp
+    ]
+    ids[L - 1] = SEP_ID
+
+    tt = np.zeros(L, dtype=np.int64)
+    tt[2 + lp :] = 1
+
+    om = np.zeros((L, 2), dtype=np.int64)
+    for i, (a, b, _t) in enumerate(pp):
+        om[1 + i] = (a, b)
+    for i, (a, b, _t) in enumerate(tp):
+        om[2 + lp + i] = (a, b)
+
+    return {
+        "input_ids": ids,
+        "token_type_ids": tt,
+        "attention_mask": np.ones(L, dtype=np.int64),
+        "offset_mapping": om,
+    }
+
+
 _ENCODERS = {"char": encode_pair, "wordpiece-en": encode_pair_wp}
 
 
@@ -236,9 +345,15 @@ def encode_batch(
     Returns dict of arrays shaped (B, L) / (B, L, 2). Padding is
     per-batch 'longest' — the model is bitwise padding-invariant (see
     core.model), so batch composition does not affect results.
-    ``mode``: 'char' (default, exact for zh) or 'wordpiece-en'.
+    ``mode``: 'char' (default, exact for zh), 'wordpiece-en' (built-in
+    sub-word list), or 'wordpiece-en@<vocab-path>' (real vocab file,
+    shipped like a model artifact).
     """
-    enc = _ENCODERS[mode]
+    if mode.startswith("wordpiece-en@"):
+        vocab = load_vocab(mode.split("@", 1)[1])
+        enc = lambda p, t, msl: encode_pair_wp_vocab(p, t, msl, vocab)  # noqa: E731
+    else:
+        enc = _ENCODERS[mode]
     encs = [enc(p, t, max_seq_len) for p, t in zip(prompts, texts)]
     L = max((e["input_ids"].shape[0] for e in encs), default=0)
     if pad_to is not None:

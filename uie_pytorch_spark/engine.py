@@ -187,9 +187,12 @@ class UIEConfig:
     # (reference uie_predictor.py:78-117, 149-198).
     backend: str = "numpy"
     # tokenization inside the UDF: 'char' (default; exact for zh — the
-    # reference's BERT tokenizer is per-character for Chinese) or
+    # reference's BERT tokenizer is per-character for Chinese),
     # 'wordpiece-en' (BERT-style basic split + greedy longest-match
-    # sub-word pieces with real multi-char offsets; see tokenizer.py).
+    # sub-word pieces with real multi-char offsets; see tokenizer.py),
+    # or 'wordpiece-en@<vocab-path>' (REAL vocab file with HF WordPiece
+    # semantics, shipped to executors via sc.addFile / --files like a
+    # model artifact).
     tokenizer: str = "char"
     # force a broadcast hint on the records join-back (decoded spans
     # are orders of magnitude smaller than the chunk table). Default
