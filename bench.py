@@ -10,10 +10,14 @@ line:
                   "efficiency_n_to_4n": ...}}
 
 The scaling block evidences the north rule's N->4N criterion
-in-sandbox: the SAME flagship job at local[8] vs local[32], same
-input; efficiency = (T8 / T32) / 4.
+in-sandbox: the SAME flagship job at N vs 4N cores on the same input,
+efficiency = (T_N / T_4N) / 4, measured under the ENGINE-DEFAULT
+config. Pairs recorded (see the comment at the scaling loop):
+2:8 default (primary), 8:32 default (single-box capped, recorded so
+the headline is not pair-shopped), 2:8 with the round-2 broadcast
+hint (comparability).
 
-Set SPARK_GRAFT_SKIP_SCALING=1 to skip the two extra sessions.
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip the extra sessions.
 """
 
 from __future__ import annotations
@@ -103,11 +107,11 @@ from uie_pytorch_spark.session import get_spark
 import bench
 s = get_spark(app_name="scale{cores}", master="local[{cores}]",
               shuffle_partitions=max({cores}, 8))
-bench._flagship_run(s, {warm_rep}, bcast=True)  # 0 = small-corpus warm-up
+bench._flagship_run(s, {warm_rep}, bcast={bcast})  # 0 = small-corpus warm-up
 best, n = None, 0
 for _ in range({inner}):
     t0 = time.monotonic()
-    n = bench._flagship_run(s, {rep}, True)
+    n = bench._flagship_run(s, {rep}, {bcast})
     t = time.monotonic() - t0
     best = t if best is None else min(best, t)
 print("CHILD_RESULT " + json.dumps({{"t": best, "n": n}}))
@@ -115,7 +119,10 @@ s.stop()
 """
 
 
-def _scaling_sample(cores: int, rep: int, inner: int = 1, warm_rep: int = 0):
+def _scaling_sample(
+    cores: int, rep: int, inner: int = 1, warm_rep: int = 0,
+    bcast: bool = False,
+):
     """min-of-``inner`` flagship timings in a FRESH python process +
     JVM. Fresh because a JVM that previously hosted a local[32] phase
     runs the same local[8] job ~35% slower (heap sizing/fragmentation
@@ -129,7 +136,8 @@ def _scaling_sample(cores: int, rep: int, inner: int = 1, warm_rep: int = 0):
 
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _CHILD.format(
-        repo=repo, cores=cores, rep=rep, inner=inner, warm_rep=warm_rep
+        repo=repo, cores=cores, rep=rep, inner=inner, warm_rep=warm_rep,
+        bcast=bcast,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -210,29 +218,46 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         spark.stop()
-        # North-rule evidence: SAME job, SAME input, N vs 4N cores.
+        # North-rule evidence: SAME job, SAME input, N vs 4N cores,
+        # under the ENGINE-DEFAULT config (AQE decides the join-back).
         # The corpus is replicated so model compute dominates fixed
         # Spark overheads (scheduler, python worker spawn) — at a real
         # 100 TB scale the fixed costs amortize the same way.
-        # Two N -> 4N pairs. The 2->8 pair is the clean reading: python
-        # workers own their cores. At 8->32 the local-mode JVM (task
-        # scheduling, Arrow encode, shuffle) shares the SAME 32 cores
-        # with the 32 compute-bound python workers, capping measured
-        # speedup (~1.6x) even though the inference kernel itself
-        # scales at 0.82 efficiency to 32 independent processes
-        # (measured; see BENCH.md). On a real cluster executors add
-        # NODES, so 8->32 executors behaves like the 2->8 pair here.
-        pairs = [
-            tuple(map(int, p.split(":")))
-            for p in os.environ.get(
-                "SPARK_GRAFT_SCALING_PAIRS", "2:8"
-            ).split(",")
-        ]
+        # Pair specs "small:big[:bcast]", primary first:
+        #   2:8        default config — the clean N->4N reading (python
+        #              workers own their cores);
+        #   8:32       default config — single-box capped: the local-
+        #              mode JVM (scheduling, Arrow encode, shuffle)
+        #              shares the SAME 32 cores with the 32 compute-
+        #              bound python workers, so the measured speedup
+        #              understates a real cluster, where executors add
+        #              NODES (the kernel alone scales at ~0.82 to 32
+        #              independent processes; BENCH.md); recorded so
+        #              the headline number is not pair-shopped.
+        #   2:8:bcast  broadcast join-back hint — round-2's tuned
+        #              configuration, kept for comparability.
+        # Later pairs are SKIPPED once the wall budget is spent; the
+        # primary pair always runs.
+        pairs = []
+        for p in os.environ.get(
+            "SPARK_GRAFT_SCALING_PAIRS", "2:8,8:32,2:8:bcast"
+        ).split(","):
+            parts = p.split(":")
+            pairs.append((int(parts[0]), int(parts[1]),
+                          len(parts) > 2 and parts[2] == "bcast"))
         out["scaling"] = {}
         rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "3"))
         n_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
-        for small, big in pairs:
-            rep = min(max(1, (big * rep_mult) // 8), 12)
+        for pair_idx, (small, big, bcast) in enumerate(pairs):
+            if out["scaling"] and time.monotonic() > deadline:
+                break  # budget spent: keep the pairs we have
+            # replicate scales the corpus so model compute dominates;
+            # capped at 6 to bound the 8:32 window inside the budget
+            rep = min(max(1, (big * rep_mult) // 8), 6)
+            # weather-robust multi-window sampling for the PRIMARY
+            # pair; secondary pairs get one window each (they are
+            # corroborating evidence, not the headline number)
+            n_windows = max(n_samples - 1, 1) if pair_idx == 0 else 1
             samples = {small: [], big: []}
             triples = {}
             # INTERLEAVED windows, min per side. This VM's throughput
@@ -244,7 +269,7 @@ def main():
             # The big side does 2 timed runs per window (cheap, and
             # empirically its 2nd in-session run is the clean one);
             # the small side 1 (it is ~4x costlier and ~3x less noisy).
-            for i in range(max(n_samples - 1, 1)):
+            for i in range(n_windows):
                 if samples[small] and samples[big] and time.monotonic() > deadline:
                     break  # keep what we have; never lose the JSON line
                 for cores in (small, big):
@@ -255,6 +280,7 @@ def main():
                             rep,
                             inner=2 if big_side else 1,
                             warm_rep=1 if big_side else 0,
+                            bcast=bcast,
                         )
                     except Exception:
                         continue  # a failed window must not kill the bench
@@ -263,7 +289,13 @@ def main():
             if not (samples[small] and samples[big]):
                 continue
             times = {c: min(v) for c, v in samples.items()}
-            out["scaling"][f"local{small}_to_local{big}"] = {
+            key = f"local{small}_to_local{big}" + ("_bcast" if bcast else "")
+            out["scaling"][key] = {
+                "config": (
+                    "broadcast join-back hint"
+                    if bcast
+                    else "engine default (AQE join-back)"
+                ),
                 "replicate": rep,
                 f"local{small}_sec": round(times[small], 3),
                 f"local{big}_sec": round(times[big], 3),

@@ -99,6 +99,60 @@ def test_stream_crawl_rollup_watermarked_windows(spark, tmp_path):
     assert rows.filter(F.col("count") > 1).count() == 0
 
 
+def test_stream_extract_dedup_composition(spark, tmp_path):
+    """Dedup-then-extract in one stream: the model runs once per
+    distinct content across the stream lifetime. Wave 2 consists of
+    mirrors of wave 1 (same text, new urls) plus genuinely new docs —
+    triples must appear only for the new docs, and every emitted
+    triple equals the batch run over the first-seen winners."""
+    from uie_pytorch_spark.streaming import stream_extract_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    w1 = fixture_web_pages(spark, n_docs=12, seed=44)
+    w1.write.mode("overwrite").parquet(inp)
+    stream_extract_dedup(spark, inp, out, ckpt, SCHEMA)
+    got1 = spark.read.parquet(out)
+
+    # batch oracle over the first-seen winners of wave 1
+    import pyspark.sql.functions as SF
+    from pyspark.sql.window import Window
+
+    def winners(pages):
+        w = Window.partitionBy(SF.md5("text")).orderBy("warc_ts", "url")
+        return (
+            pages.withColumn("_rn", SF.row_number().over(w))
+            .filter(SF.col("_rn") == 1)
+            .select(SF.xxhash64("url").alias("doc_id"), "text")
+        )
+
+    eng = UIEEngine(spark, SCHEMA, UIEConfig())
+    batch1 = UIEEngine.triples(eng.extract(winners(w1)))
+    assert _triple_set(got1) == _triple_set(batch1)
+
+    # wave 2: mirrors of wave 1 + new docs
+    mirror = w1.withColumn(
+        "url", F.concat(F.lit("https://mirror.net/"), F.col("url"))
+    )
+    fresh = fixture_web_pages(spark, n_docs=40, seed=44).filter(
+        F.col("url").rlike("/page/3[0-9]$")
+    )
+    mirror.unionByName(fresh).write.mode("append").parquet(inp)
+    stream_extract_dedup(spark, inp, out, ckpt, SCHEMA)
+
+    got2 = spark.read.parquet(out)
+    # the oracle must also suppress fresh docs whose CONTENT already
+    # appeared in wave 1 (cross-wave state is the operator's point)
+    seen = {r[0] for r in w1.select(SF.md5("text")).collect()}
+    fresh_new = fresh.filter(~SF.md5("text").isin(list(seen)))
+    batch2 = UIEEngine.triples(
+        UIEEngine(spark, SCHEMA, UIEConfig()).extract(winners(fresh_new))
+    )
+    assert _triple_set(got2) == _triple_set(batch1) | _triple_set(batch2)
+
+
 def test_stream_dedup_first_seen_multichunk_group(spark, tmp_path):
     """A content group LARGER than arrow.maxRecordsPerBatch arrives in
     the stateful UDF as several pandas chunks (the mirror-crawl

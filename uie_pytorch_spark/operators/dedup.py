@@ -4,9 +4,15 @@ extraction (boilerplate/mirror removal).
 
 Scale design:
   * exact dedup: one hash-groupBy, map-side combinable.
-  * minhash: shingle explode -> per-(doc, permutation) min — a single
-    partial-aggregatable groupBy; banding turns candidate search into
+  * minhash: shingle explode -> ONE md5 per shingle -> k affine
+    permutations as k parallel min buffers in a single
+    partial-aggregatable groupBy producing an ARRAY signature;
+    banding is a native projection of the array; candidate search is
     an equi-join on (band_id, band_hash) instead of O(n^2) pairs.
+  * near_dup_canonical collapses EXACT duplicates (content hash)
+    BEFORE the near-dup tier — mirror clusters (the dominant web-scale
+    duplication) cost O(1) there instead of O(m^2) bucket pairs; a
+    bucket-size cap backstops near-identical boilerplate families.
   * pairwise Jaccard runs ONLY on LSH candidates at scale; the
     all-pairs variant here is for oracle verification at test SF.
   * skew: boilerplate shingles hash-bucket evenly by construction

@@ -117,29 +117,14 @@ DEDUP_OUT_SCHEMA = (
 DEDUP_STATE_SCHEMA = "seen boolean"
 
 
-def stream_dedup_first_seen(
-    spark: SparkSession,
-    input_path: str,
-    output_path: str,
-    checkpoint_path: str,
-    await_termination: bool = True,
-):
-    """Custom stateful streaming operator (applyInPandasWithState):
-    emit each distinct page CONTENT exactly once across the whole
-    stream lifetime — the streaming twin of exact_dup_groups. State is
-    one boolean per content hash; a hash seen in ANY earlier
-    micro-batch suppresses all later copies (mirror crawls, recrawls).
-    Unlike ``dropDuplicates`` on a stream, the state shape, timeout
-    policy, and emit rule are explicit and extensible (e.g. keep the
-    best-quality copy by swapping the emit rule)."""
+def _first_seen_dedup(pages: DataFrame) -> DataFrame:
+    """The stateful first-seen content dedup as a reusable streaming
+    transform: one boolean of state per content hash; the earliest
+    (warc_ts, url) copy of each distinct content is emitted exactly
+    once across the stream lifetime."""
     import pandas as pd
 
-    pages = (
-        spark.readStream.schema(WEB_PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_path)
-        .withColumn("content_hash", F.md5("text"))
-    )
+    pages = pages.withColumn("content_hash", F.md5("text"))
 
     def first_seen(key, pdfs, state):
         if state.exists:
@@ -165,17 +150,85 @@ def stream_dedup_first_seen(
         state.update((True,))
         yield best[["content_hash", "url", "warc_ts", "text"]]
 
-    deduped = pages.groupBy("content_hash").applyInPandasWithState(
+    return pages.groupBy("content_hash").applyInPandasWithState(
         first_seen,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    emit each distinct page CONTENT exactly once across the whole
+    stream lifetime — the streaming twin of exact_dup_groups. State is
+    one boolean per content hash; a hash seen in ANY earlier
+    micro-batch suppresses all later copies (mirror crawls, recrawls).
+    Unlike ``dropDuplicates`` on a stream, the state shape, timeout
+    policy, and emit rule are explicit and extensible (e.g. keep the
+    best-quality copy by swapping the emit rule)."""
+    pages = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    deduped = _first_seen_dedup(pages)
     query = (
         deduped.writeStream.format("parquet")
         .outputMode("append")
         .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def stream_extract_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema,
+    config: Optional[UIEConfig] = None,
+    await_termination: bool = True,
+):
+    """Composed incremental pipeline: stateful first-seen CONTENT dedup
+    -> multi-stage extraction, in one stream. The model runs exactly
+    once per distinct page content across the whole stream lifetime —
+    the crawl-ingestion shape at web scale, where the dominant cost
+    (inference) must never be paid twice for a mirror copy or recrawl.
+    doc_id is the xxhash64 of the WINNING (earliest) url; triples land
+    as append-only parquet with the micro-batch epoch attached."""
+    pages = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    deduped = _first_seen_dedup(pages)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "text")
+        engine = UIEEngine(spark, schema, config or UIEConfig())
+        triples = UIEEngine.triples(engine.extract(docs)).withColumn(
+            "epoch_id", F.lit(epoch_id)
+        )
+        triples.write.mode("append").parquet(output_path)
+        engine.unpersist()
+
+    query = (
+        deduped.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
