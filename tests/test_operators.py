@@ -313,6 +313,36 @@ def test_xxh64_matches_spark(spark):
         assert got[s] == xxh64_str(s), repr(s)
 
 
+def test_ivf_topk_recall_and_exhaustive_equivalence(spark):
+    """IVF-Flat: probing MORE lists is monotone in recall, and probing
+    ALL lists (n_probe = n_centroids) degenerates to the exact
+    brute-force top-k — the candidate union is then the whole corpus,
+    so any difference would be a rerank bug."""
+    from uie_pytorch_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.select("vec_id").filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.topk_by_dot(emb, q, k=5).collect()
+    }
+
+    def got(n_probe):
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_topk(
+                emb, q, k=5, n_centroids=16, n_probe=n_probe
+            ).collect()
+        }
+
+    nbrs = lambda s: {(a, b) for a, b, _ in s}  # noqa: E731
+    r1 = len(nbrs(got(1)) & nbrs(exact)) / len(nbrs(exact))
+    r4 = len(nbrs(got(4)) & nbrs(exact)) / len(nbrs(exact))
+    assert r1 <= r4
+    assert got(16) == exact  # exhaustive probe == brute force, ranks too
+    assert got(4) == got(4)  # deterministic
+
+
 def test_srp_multiprobe_improves_recall(spark):
     """Multi-probe SRP (flip one sign bit) must return a superset of
     the single-probe neighbor sets and strictly improve recall vs the

@@ -262,3 +262,86 @@ def srp_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot", "rank")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize every vector to its nearest
+    centroid (one inverted list per centroid), probe each query's
+    ``n_probe`` nearest lists, exact-rerank only the candidates met
+    there — the other standard web-scale ANN layout next to SRP
+    (faiss's IVF family).
+
+    Scale shape: the centroid table is tiny and BROADCAST, so the
+    assignment is one map-side join + a per-vector argmax (no shuffle
+    of the corpus beyond one partial-agg groupBy); candidates meet
+    through the (centroid -> members) equi-join — never a cross join;
+    rerank is the same pair-list x flat-vector pattern as srp_topk,
+    O(dim) per candidate pair.
+
+    ``centroids``: pass a trained coarse quantizer as (vec_id,
+    embedding) — e.g. pyspark.ml.clustering.KMeans cluster centers —
+    for production recall. Default (None) seeds the quantizer with the
+    first ``n_centroids`` vectors by vec_id: deterministic, and
+    expressible in the DuckDB oracle (k-means is not), which is what
+    makes this operator value-checkable. All distances are exact
+    integer micro-unit dots (cross-engine identical); ties break to
+    the smaller centroid / neighbor id."""
+    flat = _flat_micro(emb)
+    cent = centroids if centroids is not None else emb.filter(
+        F.col("vec_id") < n_centroids
+    )
+    cflat = F.broadcast(
+        _flat_micro(cent.select("vec_id", "embedding")).select(
+            F.col("vec_id").alias("cent_id"), "i", F.col("xi").alias("ci")
+        )
+    )
+    cdots = (
+        flat.join(cflat, "i")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("xi") * F.col("ci")).alias("cdot"))
+    )
+    cw = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id").asc()
+    )
+    ranked = cdots.withColumn("crank", F.row_number().over(cw))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.join(queries.select("vec_id"), "vec_id", "left_semi")
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+    qf = flat.select(
+        F.col("vec_id").alias("query_id"), "i", F.col("xi").alias("qx")
+    ).join(queries.select(F.col("vec_id").alias("query_id")), "query_id")
+    nf = flat.select(F.col("vec_id").alias("neighbor_id"), "i", "xi")
+    dots = (
+        cand.join(qf, "query_id")
+        .join(nf, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.sum(F.col("qx") * F.col("xi")).cast("double") / F.lit(1e12))
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
