@@ -985,6 +985,53 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "relation_class_report",
+    """
+    WITH tri AS (
+      SELECT translate(p_type, ' ', '的') || '的' || r_name AS pred,
+             p_name AS subj_text,
+             (p_partkey % 97) / 97.0 AS obj_prob
+      FROM part, region WHERE p_size > 45
+      UNION ALL
+      SELECT p_brand AS pred, p_name AS subj_text,
+             (p_partkey % 89) / 89.0 AS obj_prob
+      FROM part WHERE p_size > 45
+    )
+    SELECT coalesce(nullif(regexp_extract(pred, '的([^的]+)$', 1), ''), pred)
+             AS relation_class,
+           CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT subj_text) AS BIGINT) AS n_subjects,
+           CAST(avg(obj_prob) AS DOUBLE) AS mean_obj_prob
+    FROM tri GROUP BY 1
+    """,
+)
+def relation_class_report(spark, sf_dir):
+    """F7 (reference utils.py:642-681): group relation predicates by
+    the text after the LAST '的' with whole-name fallback — run through
+    the REAL export.relation_class_report operator over a deterministic
+    triple table derived from the fixture: multi-'的' predicates
+    (p_type with spaces folded to '的' + region suffix) plus no-'的'
+    predicates (p_brand) exercising the fallback branch."""
+    from .export import relation_class_report as rcr
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    r = _t(spark, sf_dir, "region")
+    multi = p.crossJoin(F.broadcast(r)).select(
+        F.concat(
+            F.translate(F.col("p_type"), " ", "的"), F.lit("的"), F.col("r_name")
+        ).alias("pred"),
+        F.col("p_name").alias("subj_text"),
+        ((F.col("p_partkey") % 97) / F.lit(97.0)).alias("obj_prob"),
+    )
+    plain = p.select(
+        F.col("p_brand").alias("pred"),
+        F.col("p_name").alias("subj_text"),
+        ((F.col("p_partkey") % 89) / F.lit(89.0)).alias("obj_prob"),
+    )
+    return rcr(multi.unionByName(plain))
+
+
 # =====================================================================
 # KG canonicalization (surface-form normalize + canonical id)
 # =====================================================================
