@@ -58,6 +58,53 @@ def test_connected_components_chain(spark):
     assert len(comp) == n + 1
 
 
+def test_connected_components_large_mixed_graph(spark):
+    """Scale-shape evidence for the CC backbone: a 2,048-node path
+    (worst case for label propagation — diameter 2,048), a 500-leaf
+    star (hub skew), cross-links merging them with a batch of random
+    pairs, plus many singleton-ish 2-cliques. Must converge inside the
+    round budget (small/large-star is O(log n) rounds on a path) and
+    agree exactly with a union-find oracle."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(10_000, 12_048)]          # path
+    edges += [(20_000, 20_000 + j) for j in range(1, 501)]       # star
+    edges += [(11_000, 20_250), (12_000, 20_499)]                # bridges
+    edges += [
+        (rng.randrange(30_000, 31_000), rng.randrange(30_000, 31_000))
+        for _ in range(800)                                      # random blob
+    ]
+    edges += [(40_000 + 2 * j, 40_001 + 2 * j) for j in range(200)]
+
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    want = {x: find(x) for x in nodes}
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["id"]: r["component"]
+        for r in C.connected_components(df, max_iterations=20).collect()
+    }
+    assert got == want
+    # sanity on the interesting structures
+    assert got[10_000] == got[12_047] == got[20_001]  # path+star merged
+
+
 def test_canonicalize_mentions_near_dupes(spark):
     rows = [
         (1, "中国中文信息学会"),
