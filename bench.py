@@ -198,6 +198,18 @@ def main():
     t, _ = _timed(_ann_scale_path)
     results["ann_srp_topk"] = round(t, 3)
 
+    def _ann_ivf_path():
+        from pyspark.sql import functions as F
+
+        from uie_pytorch_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = emb.select("vec_id").filter(F.col("vec_id") < 50)
+        return ivf_topk(emb, q, k=10, n_centroids=32, n_probe=4).count()
+
+    t, _ = _timed(_ann_ivf_path)
+    results["ann_ivf_topk"] = round(t, 3)
+
     total = round(sum(results.values()), 3)
     out = {
         "metric": "uie_kg_pipeline_and_operators_wall",
