@@ -33,6 +33,24 @@ def main(argv=None):
     ap.add_argument("--position-prob", type=float, default=0.5)
     ap.add_argument("--max-seq-len", type=int, default=512)
     ap.add_argument("--skip-invariant-check", action="store_true")
+    # deployment seams: a real checkpoint/vocab ships with --files (or
+    # sc.addFile below when the path is driver-local) and slots in here
+    # with no code changes
+    ap.add_argument(
+        "--model-path", default=None,
+        help=".npz weight artifact (core.model.save_weights); shipped "
+             "to executors via SparkFiles",
+    )
+    ap.add_argument(
+        "--backend", default="numpy", choices=("numpy", "torch", "onnx"),
+        help="inference backend inside the UDF (torch/onnx need the "
+             "libs on executors)",
+    )
+    ap.add_argument(
+        "--tokenizer", default="char",
+        help="'char' | 'wordpiece-en' | 'wordpiece-en@<vocab.txt>' "
+             "(vocab file shipped like the model artifact)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,10 +77,23 @@ def main(argv=None):
             sys.exit(2)
 
     schema = json.loads(args.schema)
+    # ship driver-local artifacts so executor workers can resolve them
+    # from SparkFiles (no-op when the path is already on a shared FS)
+    import os
+
+    for p in (
+        args.model_path,
+        args.tokenizer.split("@", 1)[1] if "@" in args.tokenizer else None,
+    ):
+        if p and os.path.exists(p):
+            spark.sparkContext.addFile(p)
     config = UIEConfig(
         lang=args.lang,
         position_prob=args.position_prob,
         max_seq_len=args.max_seq_len,
+        model_path=args.model_path,
+        backend=args.backend,
+        tokenizer=args.tokenizer,
     )
 
     def extract_fn(part_pages):
