@@ -228,7 +228,7 @@ def main():
     # the JSON line always prints with whatever samples exist (a driver
     # timeout mid-scaling would otherwise lose the whole result)
     deadline = time.monotonic() + float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "780")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
     )
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
@@ -264,7 +264,10 @@ def main():
         rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "3"))
         n_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
         for pair_idx, (small, big, bcast) in enumerate(pairs):
-            if out["scaling"] and time.monotonic() > deadline:
+            # don't START a non-primary pair without ~a window's worth
+            # of budget left — a pair begun at the deadline edge would
+            # overshoot the wall budget by its full window length
+            if out["scaling"] and time.monotonic() > deadline - 150:
                 break  # budget spent: keep the pairs we have
             # replicate scales the corpus so model compute dominates;
             # capped at 6 to bound the 8:32 window inside the budget

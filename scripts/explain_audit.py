@@ -118,6 +118,18 @@ def main():
          plan_of(QUERIES["ann_srp_topk"](spark, SF)))
     )
 
+    # 6b. IVF ANN: broadcast quantizer, list-probe equi-join, no
+    # cartesian product
+    sections.append(
+        ("ann_ivf_topk (IVF-Flat: broadcast quantizer -> inverted lists -> probe -> rerank)",
+         "Expect the centroid assignment as a BroadcastHashJoin against "
+         "the tiny centroid table (the corpus is never shuffled for "
+         "assignment beyond one partial-agg groupBy), candidates met "
+         "through the (centroid -> members) equi-join, and NO "
+         "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
+         plan_of(QUERIES["ann_ivf_topk"](spark, SF)))
+    )
+
     # 7. jaccard with candidates: pair list joined below the agg
     from pyspark.sql import functions as F
 
