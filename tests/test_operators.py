@@ -219,6 +219,30 @@ def test_near_dup_canonical_mirror_cluster_precollapse(spark):
     assert out[3000] == 3000        # unrelated doc maps to itself
 
 
+def test_near_dup_canonical_bucket_cap_equivalence(spark):
+    """On the driver fixture (template-generated docs -> heavy
+    boilerplate-family structure, the cap's target case) the bucket cap
+    changes NOTHING in the canonical mapping: members of oversized
+    buckets still connect through smaller buckets in other bands, so
+    the cap only removes redundant pair generation. Measured at sf0.1:
+    identical output, 99 s -> 18 s (cap=16)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+    full = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in D.near_dup_canonical(docs, threshold=0.5).collect()
+    }
+    capped = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in D.near_dup_canonical(
+            docs, threshold=0.5, max_bucket_size=16
+        ).collect()
+    }
+    assert capped == full
+
+
 def test_lsh_bucket_cap_drops_oversized_buckets(spark):
     """max_bucket_size: a band bucket with more members than the cap
     contributes no pairs (boilerplate-family backstop); buckets at or
