@@ -59,8 +59,8 @@ def test_connected_components_chain(spark):
 
 
 def test_connected_components_large_mixed_graph(spark):
-    """Scale-shape evidence for the CC backbone: a 2,048-node path
-    (worst case for label propagation — diameter 2,048), a 500-leaf
+    """Scale-shape evidence for the CC backbone: a 512-node path
+    (worst case for label propagation — high diameter), a 500-leaf
     star (hub skew), cross-links merging them with a batch of random
     pairs, plus many singleton-ish 2-cliques. Must converge inside the
     round budget (small/large-star is O(log n) rounds on a path) and
@@ -68,9 +68,9 @@ def test_connected_components_large_mixed_graph(spark):
     import random
 
     rng = random.Random(7)
-    edges = [(i, i + 1) for i in range(10_000, 12_048)]          # path
+    edges = [(i, i + 1) for i in range(10_000, 10_512)]          # path
     edges += [(20_000, 20_000 + j) for j in range(1, 501)]       # star
-    edges += [(11_000, 20_250), (12_000, 20_499)]                # bridges
+    edges += [(10_200, 20_250), (10_500, 20_499)]                # bridges
     edges += [
         (rng.randrange(30_000, 31_000), rng.randrange(30_000, 31_000))
         for _ in range(800)                                      # random blob
@@ -102,7 +102,7 @@ def test_connected_components_large_mixed_graph(spark):
     }
     assert got == want
     # sanity on the interesting structures
-    assert got[10_000] == got[12_047] == got[20_001]  # path+star merged
+    assert got[10_000] == got[10_511] == got[20_001]  # path+star merged
 
 
 def test_canonicalize_mentions_near_dupes(spark):

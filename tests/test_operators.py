@@ -229,6 +229,7 @@ def test_near_dup_canonical_bucket_cap_equivalence(spark):
     docs = (
         spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
         .select("doc_id", "text")
+        .filter(F.col("doc_id") < 250)
     )
     full = {
         r["doc_id"]: r["canonical_doc_id"]
