@@ -105,6 +105,42 @@ def test_connected_components_large_mixed_graph(spark):
     assert got[10_000] == got[10_511] == got[20_001]  # path+star merged
 
 
+def test_entity_edges_merges_surface_variants(spark):
+    """Edge materialization: triples whose endpoint surfaces differ
+    only by canonicalization collapse into one edge with aggregated
+    mention count, doc frequency, and mean probability."""
+    from uie_pytorch_spark.kg.graph import entity_edges
+
+    tri = spark.createDataFrame(
+        [
+            ("Acme Corp", "ceo-of", "john smith", 0.9, 1),
+            ("ACME CORP", "ceo-of", "John Smith", 0.7, 2),
+            ("acme corp", "ceo-of", "John Smith", 0.5, 2),
+            ("Other Inc", "ceo-of", "John Smith", 0.8, 3),
+        ],
+        "subj_text: string, pred: string, obj_text: string,"
+        " obj_prob: double, doc_id: long",
+    )
+    surfaces = (
+        tri.select(F.col("subj_text").alias("surface"))
+        .unionByName(tri.select(F.col("obj_text").alias("surface")))
+        .distinct()
+    )
+    canon = surfaces.select(
+        "surface", F.lower(F.col("surface")).alias("canonical_id")
+    )
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"]):
+            (r["n_mentions"], r["n_docs"], r["mean_obj_prob"])
+        for r in entity_edges(tri, canon).collect()
+    }
+    assert len(got) == 2
+    n, d, m = got[("acme corp", "ceo-of", "john smith")]
+    assert (n, d) == (3, 2)
+    assert abs(m - (0.9 + 0.7 + 0.5) / 3) < 1e-12
+    assert got[("other inc", "ceo-of", "john smith")][0] == 1
+
+
 def test_canonicalize_mentions_near_dupes(spark):
     rows = [
         (1, "中国中文信息学会"),

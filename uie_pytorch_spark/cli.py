@@ -115,6 +115,14 @@ def main(argv=None):
     canon = canonicalize_mentions(mentions)
     canon.write.mode("overwrite").parquet(f"{args.output}/entities")
 
+    # KG edge table: triples collapsed onto canonical entity ids
+    from uie_pytorch_spark.kg.graph import entity_edges, surface_canonical_map
+
+    edges = entity_edges(
+        triples, surface_canonical_map(spark.read.parquet(f"{args.output}/entities"))
+    )
+    edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+
     n = triples.count()
     print(json.dumps({"run_id": args.run_id, "triples": n}))
 

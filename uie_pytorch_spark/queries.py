@@ -1032,6 +1032,73 @@ def relation_class_report(spark, sf_dir):
     return rcr(multi.unionByName(plain))
 
 
+@query(
+    "kg_entity_edges",
+    """
+    WITH tri AS (
+      SELECT p_name AS subj_text, 'made-in' AS pred, r_name AS obj_text,
+             (p_partkey % 83) / 83.0 AS obj_prob,
+             CAST(p_partkey % 50 AS BIGINT) AS doc_id
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+      UNION ALL
+      SELECT upper(p_name), 'made-in', lower(r_name),
+             (p_partkey % 83) / 83.0,
+             CAST(p_partkey % 37 AS BIGINT)
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+    ),
+    surf AS (
+      SELECT subj_text AS surface FROM tri
+      UNION SELECT obj_text FROM tri
+    ),
+    canon AS (SELECT surface, lower(trim(surface)) AS canonical_id FROM surf)
+    SELECT s.canonical_id AS subj_id, t.pred, o.canonical_id AS obj_id,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(avg(t.obj_prob) AS DOUBLE) AS mean_obj_prob
+    FROM tri t JOIN canon s ON t.subj_text = s.surface
+               JOIN canon o ON t.obj_text = o.surface
+    GROUP BY s.canonical_id, t.pred, o.canonical_id
+    """,
+)
+def kg_entity_edges(spark, sf_dir):
+    """Graph materialization (north rule 'entity/edge tables'): the
+    REAL kg.graph.entity_edges operator over a deterministic
+    fixture-derived triple table containing case-variant surfaces of
+    the same mentions — the exact-tier canonical map must merge them
+    into one edge with aggregated weight/doc-frequency/probability."""
+    from .kg.graph import entity_edges
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    r = _t(spark, sf_dir, "region")
+    base = p.join(r, r["r_regionkey"] == p["p_partkey"] % 5)
+    t1 = base.select(
+        F.col("p_name").alias("subj_text"),
+        F.lit("made-in").alias("pred"),
+        F.col("r_name").alias("obj_text"),
+        ((F.col("p_partkey") % 83) / F.lit(83.0)).alias("obj_prob"),
+        (F.col("p_partkey") % 50).cast("long").alias("doc_id"),
+    )
+    t2 = base.select(
+        F.upper("p_name").alias("subj_text"),
+        F.lit("made-in").alias("pred"),
+        F.lower("r_name").alias("obj_text"),
+        ((F.col("p_partkey") % 83) / F.lit(83.0)).alias("obj_prob"),
+        (F.col("p_partkey") % 37).cast("long").alias("doc_id"),
+    )
+    tri = t1.unionByName(t2)
+    surf = (
+        tri.select(F.col("subj_text").alias("surface"))
+        .unionByName(tri.select(F.col("obj_text").alias("surface")))
+        .distinct()
+    )
+    canon = surf.select(
+        "surface", F.lower(F.trim(F.col("surface"))).alias("canonical_id")
+    )
+    return entity_edges(tri, canon)
+
+
 # =====================================================================
 # KG canonicalization (surface-form normalize + canonical id)
 # =====================================================================
