@@ -155,6 +155,28 @@ def test_multimodal_feature_plumbing(spark):
     assert sorted(r["frame_ts"] for r in plan) == [0, 1000, 2000, 3000]
 
 
+def test_multimodal_resize_plumbing(spark):
+    """resize_images: image rows get payloads of exactly width*height
+    bytes and updated meta; non-image rows pass through byte-identical;
+    the output schema composes with extract_features."""
+    rows = [
+        (1, "image", bytes(range(200)), (100, 50, None, "image/png")),
+        (2, "video", b"\x05" * 64, (None, None, 3500, "video/mp4")),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.resize_images(media, 8, 4).collect()}
+    assert len(out[1]["payload"]) == 8 * 4
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (8, 4)
+    assert out[1]["meta"]["mime"] == "image/png"  # untouched meta field
+    assert bytes(out[2]["payload"]) == b"\x05" * 64  # passthrough
+    assert out[2]["meta"]["duration_ms"] == 3500
+    # deterministic, and composes with the feature extractor
+    again = {r["media_id"]: r for r in MM.resize_images(media, 8, 4).collect()}
+    assert bytes(again[1]["payload"]) == bytes(out[1]["payload"])
+    feats = MM.extract_features(MM.resize_images(media, 8, 4)).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
+
+
 def test_exact_dedup_finds_duplicates(spark):
     docs = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")],

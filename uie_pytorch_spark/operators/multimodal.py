@@ -84,6 +84,62 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+def _resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — deterministic fake resize.
+
+    Real implementation:
+        img = PIL.Image.open(io.BytesIO(payload))
+        return img.resize((width, height)).tobytes()
+    No media libs exist in this container, so the stub emits a
+    deterministic pseudo-bitmap of exactly width*height bytes derived
+    from the payload (tiled), preserving the property the plumbing
+    depends on: output size is a pure function of the target shape,
+    not the input size."""
+    if not payload:
+        payload = b"\x00"
+    n = width * height
+    reps = (n // len(payload)) + 1
+    return (payload * reps)[:n]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas image resize: image rows get a new payload of the
+    target shape and updated meta (width/height); non-image rows pass
+    through untouched. Output schema == MEDIA_SCHEMA, so resize stages
+    compose with extract_features / frame_sample_plan. Blobs stay
+    inside the Arrow batch — never shuffled wider than the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            out_meta = []
+            for kind, payload, meta in zip(
+                pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                m = dict(meta) if meta is not None else {
+                    "width": None, "height": None,
+                    "duration_ms": None, "mime": None,
+                }
+                if kind == "image":
+                    out_payload.append(
+                        _resize_image_stub(bytes(payload), width, height)
+                    )
+                    m["width"], m["height"] = width, height
+                else:
+                    out_payload.append(bytes(payload))
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def partition_by_bytes(media: DataFrame, target_mb: int = 256) -> DataFrame:
     """Size-aware repartition: estimate rows/partition from the mean
     payload size so each task holds ~target_mb of blobs (media rows
