@@ -13,11 +13,11 @@ Provenance of each golden (NOT produced by the Spark engine):
   * kg_canonical_entities — tests/eager_kg.canonicalize_surfaces, a
     plain-Python replication of the canonicalization tier (md5 h60
     minhash/banding, XXH64-42 ids, union-find CC).
-  * uie_nested_export — the eager oracle's SPANS assembled with the
-    same export projection (export.nested_results) in a local Spark
-    session: the independent signal is the span table; the JSON
-    formatting layer is shared (Spark's to_json float rendering is not
-    reproducible outside Spark).
+  * uie_nested_export — the eager oracle's SPANS rendered by the
+    INDEPENDENT plain-Python serializer (tests/eager_export.py), which
+    byte-matches Spark's to_json output (proven corpus-wide by
+    tests/test_training_export.py); neither the nesting nor the
+    formatting layer imports uie_pytorch_spark.export.
 
 Rerun this script and commit the diff whenever the kernel or fixture
 corpus changes intentionally.
@@ -255,7 +255,6 @@ def _write_uie(flag, ents, doc_ids):
         ),
     )
 
-    # kg canonicalization: distinct entity surfaces, doc_id < 200
 
 
 def _freeze_kg(ents, doc_ids):
