@@ -42,14 +42,24 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization regex (GPT-2-style segmentation, simplified
+# to explicit char classes so Spark's Java regex and DuckDB's RE2 agree
+# leftmost-first): latin word runs / digit runs with an optional
+# leading space, CJK per character (BPE tokenizers emit ~1 token per
+# ideograph), punctuation runs. Whitespace itself is not a token.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+|[一-鿿]| ?[^\sA-Za-z0-9一-鿿]+"
+
+
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate
-    (word-chunks of <=4 chars, the common len(text)/4 heuristic) +
-    char count."""
+    """Whitespace token count, a BPE-ish REGEX token count (GPT-2-style
+    segmentation; the pre-tokenizer pass every byte-BPE runs, so it
+    tracks real tokenizer token counts far better than len/4), the
+    crude len/4 subword estimate, and char count."""
     t = F.col(text_col)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
         F.ceil(F.length(t) / 4).cast("long").alias("subword_est"),
         F.length(t).alias("n_chars_computed"),
     )

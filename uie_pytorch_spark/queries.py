@@ -705,6 +705,9 @@ def lang_id_heuristic(spark, sf_dir):
     """
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[\\S]+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+|[一-鿿]| ?[^\\sA-Za-z0-9一-鿿]+'))
+                AS INT) AS bpe_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est,
            CAST(length(text) AS INT) AS n_chars_computed
     FROM documents
