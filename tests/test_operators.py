@@ -463,3 +463,50 @@ def test_srp_multiprobe_improves_recall(spark):
     assert r6 >= 3 * r0 and r6 >= 0.15
     # determinism
     assert got(3) == got(3)
+
+
+def test_band_hashes_rejects_uneven_bands(spark):
+    """k % bands != 0 would silently drop tail permutations from every
+    band (a hidden recall change) — it must raise instead."""
+    sig = spark.createDataFrame(
+        [(1, list(range(12)))], "doc_id: long, sig: array<bigint>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        D.band_hashes(sig, k=12, bands=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        D.lsh_candidate_pairs(sig, k=12, bands=5)
+
+
+def test_near_dup_canonical_null_text_self_maps(spark):
+    """NULL-text docs must each map to THEMSELVES: md5(NULL) is NULL
+    for every such row, so a naive content-hash key would collapse all
+    null-text docs into one bogus cluster."""
+    rows = [(1, "identical page body"), (2, "identical page body"),
+            (10, None), (11, None), (12, None)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in D.near_dup_canonical(docs, threshold=0.5).collect()
+    }
+    assert out[1] == 1 and out[2] == 1       # exact dups collapse
+    assert out[10] == 10 and out[11] == 11 and out[12] == 12
+
+
+def test_lsh_bucket_cap_observation_reports_drops(spark):
+    """Capped candidate generation is observable: the SAME action that
+    consumes the pairs records how many buckets / member rows the cap
+    removed (in-plan observe — no extra job)."""
+    from pyspark.sql import Observation
+
+    # one 10-doc bucket family (over the cap) + one pair (under it)
+    sig_rows = [(i, [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4]) for i in range(10)]
+    sig_rows += [(100, [9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6]),
+                 (101, [9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6])]
+    sig = spark.createDataFrame(sig_rows, "doc_id: long, sig: array<bigint>")
+    obs = Observation("lsh-drops")
+    pairs = D.lsh_candidate_pairs(sig, max_bucket_size=5, observation=obs)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {(100, 101)}
+    got = obs.get
+    # the 10-doc family fills one oversized bucket in each of 4 bands
+    assert got["dropped_buckets"] == 4
+    assert got["dropped_member_rows"] == 40

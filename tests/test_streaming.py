@@ -234,3 +234,24 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         .unionByName(fresh.select("text")).select(F.md5("text")).distinct().count()
     )
     assert got.count() == expected
+
+
+def test_epoch_write_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch (same
+    epoch_id) must REPLACE that epoch's output, not re-append it."""
+    from uie_pytorch_spark.streaming import _write_epoch
+
+    out = str(tmp_path / "triples")
+    t1 = spark.createDataFrame(
+        [(1, "s", 0, "p", "o", 5)],
+        "doc_id: long, subj_text: string, subj_start: int, pred: string,"
+        " obj_text: string, obj_start: int",
+    )
+    _write_epoch(t1, out, 0)
+    _write_epoch(t1, out, 1)
+    assert spark.read.parquet(out).count() == 2
+    # replay epoch 1 (e.g. failure after a partial write) — no dupes
+    _write_epoch(t1, out, 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r["epoch_id"] for r in got.select("epoch_id").collect()} == {0, 1}

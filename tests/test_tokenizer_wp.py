@@ -207,3 +207,44 @@ def test_engine_wordpiece_matches_oracle(spark):
         if r["start"] is not None:
             assert texts[r["doc_id"]][r["start"]:r["end"]] == r["text"]
     assert s == o
+
+
+def test_wordpiece_offsets_survive_length_changing_lowercase():
+    """Unicode chars whose str.lower() changes length ('İ' -> 'i̇',
+    'ẞ' -> 'ss') must not shift piece offsets: every span indexes the
+    ORIGINAL string and stays inside its word (ADVICE r3)."""
+    from uie_pytorch_spark.core.tokenizer import (
+        WordpieceVocab,
+        wordpiece_spans_vocab,
+    )
+
+    for s in ["İstanbul is big", "STRAẞE crossing", "İİİ ẞẞ mix"]:
+        for a, b, _c in wordpiece_spans(s):
+            assert 0 <= a < b <= len(s)
+            assert not s[a:b].isspace()
+        vocab = WordpieceVocab(["[UNK]", "istanbul", "is", "big", "s", "##s"])
+        for a, b, _t in wordpiece_spans_vocab(s, vocab):
+            assert 0 <= a < b <= len(s)
+    # spans still tile each word contiguously
+    s = "İstanbul"
+    pieces = wordpiece_spans(s)
+    assert pieces[0][0] == 0 and pieces[-1][1] == len(s)
+    for (_, b1, _), (a2, _, _) in zip(pieces, pieces[1:]):
+        assert b1 == a2
+
+
+def test_vocab_larger_than_embedding_rows_warns():
+    """A 30k+ real vocab aliases ids under the TinyUIE fold — loading
+    one must warn instead of colliding silently (ADVICE r3)."""
+    import warnings
+
+    from uie_pytorch_spark.core.tokenizer import VOCAB_CHARS, WordpieceVocab
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        WordpieceVocab([f"tok{i}" for i in range(VOCAB_CHARS + 5)])
+    assert any("alias" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        WordpieceVocab(["[UNK]", "a", "b"])
+    assert not w

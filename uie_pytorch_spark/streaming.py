@@ -23,6 +23,19 @@ from .engine import UIEConfig, UIEEngine
 from .sources.web_pages import WEB_PAGES_SCHEMA
 
 
+def _write_epoch(triples: DataFrame, output_path: str, epoch_id: int) -> None:
+    """Idempotent micro-batch sink. foreachBatch is at-least-once: a
+    failed/restarted epoch is REPLAYED with the SAME epoch_id, so a
+    blind append would duplicate the replayed triples. Writing each
+    epoch into its own partition directory with overwrite makes the
+    replay replace the partial epoch instead; readers of
+    ``output_path`` still see one table, with ``epoch_id`` as a
+    partition column."""
+    triples.write.mode("overwrite").parquet(
+        f"{output_path}/epoch_id={epoch_id}"
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_path: str,
@@ -46,10 +59,8 @@ def stream_extract(
             return
         docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "text")
         engine = UIEEngine(spark, schema, config or UIEConfig())
-        triples = UIEEngine.triples(engine.extract(docs)).withColumn(
-            "epoch_id", F.lit(epoch_id)
-        )
-        triples.write.mode("append").parquet(output_path)
+        triples = UIEEngine.triples(engine.extract(docs))
+        _write_epoch(triples, output_path, epoch_id)
         engine.unpersist()
 
     query = (
@@ -208,7 +219,8 @@ def stream_extract_dedup(
     the crawl-ingestion shape at web scale, where the dominant cost
     (inference) must never be paid twice for a mirror copy or recrawl.
     doc_id is the xxhash64 of the WINNING (earliest) url; triples land
-    as append-only parquet with the micro-batch epoch attached."""
+    as epoch-partitioned parquet (idempotent per-epoch overwrite — see
+    _write_epoch)."""
     pages = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -221,10 +233,8 @@ def stream_extract_dedup(
             return
         docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "text")
         engine = UIEEngine(spark, schema, config or UIEConfig())
-        triples = UIEEngine.triples(engine.extract(docs)).withColumn(
-            "epoch_id", F.lit(epoch_id)
-        )
-        triples.write.mode("append").parquet(output_path)
+        triples = UIEEngine.triples(engine.extract(docs))
+        _write_epoch(triples, output_path, epoch_id)
         engine.unpersist()
 
     query = (
