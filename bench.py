@@ -17,6 +17,16 @@ config. Pairs recorded (see the comment at the scaling loop):
 the headline is not pair-shopped), 2:8 with the round-2 broadcast
 hint (comparability).
 
+Weather robustness (round 4): this VM suffers hypervisor-steal bursts
+that moved whole recorded rounds ±20-80%. Every sample now records
+its window's steal/busy %% from /proc/stat; the per-side point
+estimate is the min over the QUIETEST steal tier with data, windows
+are interleaved and preceded by a 1-s burst check, a side whose every
+window was contended gets a cheap single-side resample, and the
+primary replicate factor is 5 (was 3) so model compute dominates the
+fixed driver/scheduler seconds — measured 0.88 efficiency at 2->8
+under mild contention, vs 0.79-0.82 at rep=3.
+
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the extra sessions.
 """
 
@@ -119,14 +129,56 @@ s.stop()
 """
 
 
+def _cpu_jiffies():
+    """(steal, busy, total) jiffies from /proc/stat; (0, 0, 0) where
+    unavailable (non-Linux) — steal guarding then degrades to off."""
+    try:
+        with open("/proc/stat") as f:
+            p = [int(x) for x in f.readline().split()[1:]]
+        idle = p[3] + (p[4] if len(p) > 4 else 0)
+        steal = p[7] if len(p) > 7 else 0
+        return steal, sum(p) - idle, sum(p)
+    except Exception:
+        return 0, 0, 0
+
+
+def _steal_busy_pct(before, after) -> float:
+    """Hypervisor steal as a % of the window's BUSY jiffies. Steal
+    only accrues on runnable vCPUs, so normalizing by busy (not total,
+    which is dominated by the 24+ idle cores) tracks how hard noisy
+    neighbors actually hit OUR tasks. Calibrated on this host: a
+    window reading ~20-25% here ran ~4% slower than idle; quiet
+    windows read <2%."""
+    steal = after[0] - before[0]
+    busy = after[1] - before[1]
+    return round(100.0 * steal / max(busy, 1), 2)
+
+
+# steal/busy %% tiers for picking the per-side point estimate: prefer
+# the min over quiet samples; fall back tier by tier so a chronically
+# noisy box still reports (with the tier recorded for honesty).
+_CLEAN_TIERS = (5.0, 15.0, float("inf"))
+
+
+def _pick_min(samples):
+    """samples: [(t, steal_busy_pct), ...] -> (min over the cleanest
+    non-empty tier, tier used)."""
+    for tier in _CLEAN_TIERS:
+        clean = [t for t, s in samples if s <= tier]
+        if clean:
+            return min(clean), tier
+    return None, None
+
+
 def _scaling_sample(
     cores: int, rep: int, inner: int = 1, warm_rep: int = 0,
     bcast: bool = False,
 ):
     """min-of-``inner`` flagship timings in a FRESH python process +
-    JVM. Fresh because a JVM that previously hosted a local[32] phase
-    runs the same local[8] job ~35% slower (heap sizing/fragmentation
-    + GC state). ``warm_rep``: 0 = small-corpus warm-up, 1 = one full
+    JVM, plus the window's steal/busy %% (contention signal). Fresh
+    because a JVM that previously hosted a local[32] phase runs the
+    same local[8] job ~35% slower (heap sizing/fragmentation + GC
+    state). ``warm_rep``: 0 = small-corpus warm-up, 1 = one full
     untimed pass (the big side needs it — whole-stage codegen/JIT only
     reaches steady state after a real pass; the small side doesn't
     show the effect and a full pass there costs 4x more)."""
@@ -139,18 +191,30 @@ def _scaling_sample(
         repo=repo, cores=cores, rep=rep, inner=inner, warm_rep=warm_rep,
         bcast=bcast,
     )
+    j0 = _cpu_jiffies()
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=1200,
     )
+    steal = _steal_busy_pct(j0, _cpu_jiffies())
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
             d = _json.loads(line[len("CHILD_RESULT "):])
-            return d["t"], d["n"]
+            return d["t"], d["n"], steal
     raise RuntimeError(
         f"scaling child (cores={cores}) produced no result: "
         f"{proc.stderr[-500:]}"
     )
+
+
+def _wait_out_burst(max_wait: float = 30.0) -> None:
+    """Cheap pre-window guard: sample steal for 1 s; if a burst is in
+    progress (>10%% of busy), sleep up to ``max_wait`` s for it to
+    pass before spending a multi-minute measurement window on it."""
+    j0 = _cpu_jiffies()
+    time.sleep(1.0)
+    if _steal_busy_pct(j0, _cpu_jiffies()) > 10.0:
+        time.sleep(max_wait)
 
 
 def main():
@@ -159,12 +223,14 @@ def main():
 
     # headline 1: flagship extraction pipeline (small-corpus warm-up
     # first so the timing isn't dominated by first-job JIT/worker
-    # spawn — one-time costs a production backfill amortizes; min-of-2
-    # timed runs: host weather inflates single runs ±20-80%)
+    # spawn — one-time costs a production backfill amortizes; min-of-3
+    # timed runs: host weather inflates single runs ±20-80%, and the
+    # recorded headline must survive a contended window)
     _flagship_run(spark, 0)
     t1, n_triples = _timed(_flagship_run, spark)
     t2, _ = _timed(_flagship_run, spark)
-    t_flag = min(t1, t2)
+    t3, _ = _timed(_flagship_run, spark)
+    t_flag = min(t1, t2, t3)
     results["uie_flagship_triples"] = round(t_flag, 3)
 
     # headline 2-6: representative operator queries
@@ -261,39 +327,58 @@ def main():
             pairs.append((int(parts[0]), int(parts[1]),
                           len(parts) > 2 and parts[2] == "bcast"))
         out["scaling"] = {}
-        rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "3"))
-        n_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
+        rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "5"))
+        max_windows = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "5"))
         for pair_idx, (small, big, bcast) in enumerate(pairs):
             # don't START a non-primary pair without ~a window's worth
             # of budget left — a pair begun at the deadline edge would
             # overshoot the wall budget by its full window length
             if out["scaling"] and time.monotonic() > deadline - 150:
                 break  # budget spent: keep the pairs we have
-            # replicate scales the corpus so model compute dominates;
-            # capped at 6 to bound the 8:32 window inside the budget
+            # replicate scales the corpus so model compute dominates
+            # the fixed driver/scheduler seconds (which do NOT scale
+            # and dilute measured efficiency); capped at 6 to bound
+            # the 8:32 window inside the budget
             rep = min(max(1, (big * rep_mult) // 8), 6)
-            # weather-robust multi-window sampling for the PRIMARY
-            # pair; secondary pairs get one window each (they are
-            # corroborating evidence, not the headline number)
-            n_windows = max(n_samples - 1, 1) if pair_idx == 0 else 1
-            samples = {small: [], big: []}
+            # INTERLEAVED windows, steal-aware min per side. This VM's
+            # throughput drifts ±20-80% over minutes (hypervisor
+            # steal / noisy neighbors) — sampling both sides within
+            # each weather window keeps the RATIO honest; per-sample
+            # steal/busy %% is recorded and the point estimate is the
+            # min over the QUIETEST tier that has data (_pick_min), so
+            # one contended window can no longer set the headline (the
+            # round-3 failure mode). The PRIMARY pair keeps sampling
+            # until both sides hold >=2 quiet-tier samples (or
+            # max_windows / the wall budget runs out); secondary pairs
+            # get one window (corroborating evidence, not the
+            # headline). Each window runs in a FRESH subprocess (own
+            # JVM) with a warm-up pass: see _scaling_sample. The big
+            # side does 2 timed runs per window (cheap; its 2nd
+            # in-session run is empirically the clean one), the small
+            # side 1 (~4x costlier, ~3x less noisy).
+            samples = {small: [], big: []}   # [(t, steal_pct), ...]
             triples = {}
-            # INTERLEAVED windows, min per side. This VM's throughput
-            # drifts ±20% over minutes (noisy neighbors / thermal) —
-            # sampling both sides within each weather window keeps the
-            # RATIO honest, and min-of-N is the steal-robust point
-            # estimate per side. Each window runs in a FRESH subprocess
-            # (own JVM) with a full warm-up pass: see _scaling_sample.
-            # The big side does 2 timed runs per window (cheap, and
-            # empirically its 2nd in-session run is the clean one);
-            # the small side 1 (it is ~4x costlier and ~3x less noisy).
+            window_cost = 150.0  # refined to the measured 1st window
+            n_windows = max_windows if pair_idx == 0 else 1
             for i in range(n_windows):
-                if samples[small] and samples[big] and time.monotonic() > deadline:
+                have = samples[small] and samples[big]
+                if have and time.monotonic() > deadline - (
+                    window_cost if i >= 2 else 0
+                ):
                     break  # keep what we have; never lose the JSON line
+                quiet = all(
+                    len([t for t, s in samples[c] if s <= _CLEAN_TIERS[0]])
+                    >= 2
+                    for c in (small, big)
+                )
+                if i >= 2 and quiet:
+                    break  # enough quiet evidence on both sides
+                w0 = time.monotonic()
+                _wait_out_burst()
                 for cores in (small, big):
                     big_side = cores == big
                     try:
-                        t, n = _scaling_sample(
+                        t, n, steal = _scaling_sample(
                             cores,
                             rep,
                             inner=2 if big_side else 1,
@@ -302,11 +387,46 @@ def main():
                         )
                     except Exception:
                         continue  # a failed window must not kill the bench
-                    samples[cores].append(round(t, 3))
+                    samples[cores].append((round(t, 3), steal))
                     triples[cores] = n
+                window_cost = time.monotonic() - w0
+            # single-side top-up (all pairs): when one side never
+            # landed a quiet sample but the other did, resample JUST
+            # that side (half a window) while budget remains — the
+            # per-side min makes lone samples usable, and this is
+            # exactly the round-3 failure (every window of one side
+            # contended) at half the repair cost of a full window
+            for _ in range(2):
+                dirty = [
+                    c for c in (small, big)
+                    if samples[c]
+                    and not [
+                        t for t, s in samples[c]
+                        if s <= _CLEAN_TIERS[0]
+                    ]
+                ]
+                if not dirty or time.monotonic() > deadline - (
+                    window_cost / 2
+                ):
+                    break
+                c = dirty[0]
+                _wait_out_burst()
+                try:
+                    t, n, steal = _scaling_sample(
+                        c, rep,
+                        inner=2 if c == big else 1,
+                        warm_rep=1 if c == big else 0,
+                        bcast=bcast,
+                    )
+                    samples[c].append((round(t, 3), steal))
+                    triples[c] = n
+                except Exception:
+                    break
             if not (samples[small] and samples[big]):
                 continue
-            times = {c: min(v) for c, v in samples.items()}
+            times, tiers = {}, {}
+            for c, v in samples.items():
+                times[c], tiers[c] = _pick_min(v)
             key = f"local{small}_to_local{big}" + ("_bcast" if bcast else "")
             out["scaling"][key] = {
                 "config": (
@@ -317,8 +437,18 @@ def main():
                 "replicate": rep,
                 f"local{small}_sec": round(times[small], 3),
                 f"local{big}_sec": round(times[big], 3),
-                f"samples_local{small}": samples[small],
-                f"samples_local{big}": samples[big],
+                f"samples_local{small}": [t for t, _ in samples[small]],
+                f"samples_local{big}": [t for t, _ in samples[big]],
+                f"steal_pct_local{small}": [s for _, s in samples[small]],
+                f"steal_pct_local{big}": [s for _, s in samples[big]],
+                # steal/busy %% tier the per-side min was drawn from
+                # (5 = quiet, 15 = mild, null-> inf = all-contended)
+                "clean_tier_pct": {
+                    str(small): None
+                    if tiers[small] == float("inf") else tiers[small],
+                    str(big): None
+                    if tiers[big] == float("inf") else tiers[big],
+                },
                 "triples": triples[big],
                 f"triples_per_sec_local{small}": round(triples[small] / times[small], 2),
                 f"triples_per_sec_local{big}": round(triples[big] / times[big], 2),

@@ -433,6 +433,22 @@ def test_ivf_topk_with_sparkml_kmeans_quantizer(spark):
         ).collect()
     }
 
+    # L2-consistent assignment (the correct pairing for L2-trained
+    # KMeans centers): recall must match or beat dot-based assignment
+    # of the same centers, at the same probe budget
+    l2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            emb, q, k=5, n_centroids=16, n_probe=4, centroids=centers,
+            assign_metric="l2",
+        ).collect()
+    }
+    r_dot = len(got & exact) / len(exact)
+    r_l2 = len(l2 & exact) / len(exact)
+    assert r_l2 >= r_dot, (r_l2, r_dot)
+    with pytest.raises(ValueError, match="assign_metric"):
+        S.ivf_topk(emb, q, assign_metric="cosine")
+
 
 def test_srp_multiprobe_improves_recall(spark):
     """Multi-probe SRP (flip one sign bit) must return a superset of
@@ -510,3 +526,77 @@ def test_lsh_bucket_cap_observation_reports_drops(spark):
     # the 10-doc family fills one oversized bucket in each of 4 bands
     assert got["dropped_buckets"] == 4
     assert got["dropped_member_rows"] == 40
+
+
+# ---------------------------------------------------------------------
+# real-media kernel path ("pil") executed against a fake PIL — same
+# pattern as test_backends' fake torch/onnxruntime: the import-guarded
+# branch runs for real, only the third-party library is simulated.
+# scripts/media_smoke.py is the companion run where real Pillow exists.
+# ---------------------------------------------------------------------
+
+def _fake_pil():
+    import types
+
+    import numpy as np
+
+    class Img:
+        def __init__(self, data):
+            self.data = data  # (h, w) uint8
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            w, h = wh
+            return Img(np.resize(self.data, (h, w)))
+
+        def tobytes(self):
+            return self.data.tobytes()
+
+        def __array__(self, dtype=None, copy=None):
+            return self.data.astype(dtype or np.uint8)
+
+    class Image:
+        @staticmethod
+        def open(buf):
+            b = np.frombuffer(buf.getvalue(), dtype=np.uint8)
+            if b.size == 0:
+                raise OSError("cannot identify image file")
+            return Img(np.resize(b, (4, max(b.size // 4, 1))))
+
+    pil = types.ModuleType("PIL")
+    pil.Image = Image
+    return pil
+
+
+def test_pil_kernels_execute_against_fake(monkeypatch):
+    """The 'pil' decode/resize kernels run end-to-end against a fake
+    PIL: feature shape/range and the resize size invariant (payload
+    size is a pure function of the target shape) hold exactly as for
+    the stub — proving the swap is drop-in at the kernel contract."""
+    import sys
+
+    import numpy as np
+
+    monkeypatch.setitem(sys.modules, "PIL", _fake_pil())
+    payload = bytes(range(256)) * 3
+
+    feat = MM._pil_decode(payload, 16)
+    assert feat.shape == (16,) and feat.dtype == np.float32
+    assert float(feat.min()) >= 0.0 and float(feat.max()) <= 1.0
+
+    out = MM._pil_resize(payload, 8, 4)
+    assert isinstance(out, bytes) and len(out) == 8 * 4
+    # same invariants as the stub kernel on the same input
+    sfeat = MM._decode_image_stub(payload, 16)
+    assert sfeat.shape == feat.shape and sfeat.dtype == feat.dtype
+    assert len(MM._resize_image_stub(payload, 8, 4)) == len(out)
+
+
+def test_resolve_kernels_unknown_name():
+    with pytest.raises(ValueError, match="unknown media kernel"):
+        MM._resolve_kernels("torchvision")
+    decode, resize = MM._resolve_kernels("pil")
+    assert decode is MM._pil_decode and resize is MM._pil_resize

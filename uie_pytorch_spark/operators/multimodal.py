@@ -3,8 +3,11 @@ columns with typed metadata. The Spark-side plumbing (schemas,
 partition sizing, Arrow batch shape, UDF signatures) is real and
 tested; the actual media decode is STUBBED behind a deterministic
 fake, clearly marked, because no image/audio libraries exist in this
-container — swap `_decode_image_stub` for PIL/torchvision in
-production.
+container. Production swap: pass ``kernel="pil"`` to
+extract_features/resize_images — the real Pillow kernels
+(_pil_decode/_pil_resize) resolve by name inside the UDF on each
+executor; scripts/media_smoke.py is the proof run where Pillow
+exists, and tests exercise the "pil" code path against a fake PIL.
 
 Scale notes: media blobs are large -> repartition by size budget
 before the UDF (`partition_by_bytes`), keep blobs OUT of shuffles
@@ -62,15 +65,63 @@ def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
     return (arr[:dim] / 255.0).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def _pil_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Real decode + feature kernel (requires PIL): decode the image,
+    grayscale, resize to a dim-length strip, normalize to [0, 1]."""
+    import io
+
+    from PIL import Image  # resolved executor-side; see _resolve_kernels
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return (
+        np.asarray(img, dtype=np.float32).reshape(dim) / np.float32(255.0)
+    )
+
+
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize kernel (requires PIL). Grayscale first so the
+    output size stays a pure function of the target shape
+    (width*height bytes) — the property the partitioning plumbing
+    depends on, same as the stub."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return img.resize((width, height)).tobytes()
+
+
+def _resolve_kernels(kernel: str):
+    """Kernels are resolved BY NAME inside the UDF on each executor
+    (a driver-side function swap would not survive the worker's module
+    re-import; a name does). "stub" = the deterministic fakes;
+    "pil" = real decode/resize where Pillow is installed (see
+    scripts/media_smoke.py for the real-library proof run)."""
+    kernels = {
+        "stub": (_decode_image_stub, _resize_image_stub),
+        "pil": (_pil_decode, _pil_resize),
+    }
+    try:
+        return kernels[kernel]
+    except KeyError:
+        raise ValueError(
+            f"unknown media kernel {kernel!r}; choose from "
+            f"{sorted(kernels)}"
+        ) from None
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, kernel: str = "stub"
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads; Arrow
-    batches bounded by bytes, one feature vector per media row."""
+    batches bounded by bytes, one feature vector per media row.
+    ``kernel``: "stub" (deterministic fake — this sandbox) or "pil"
+    (real decode; import happens executor-side inside the UDF)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode, _ = _resolve_kernels(kernel)
         for pdf in batches:
-            feats = [
-                _decode_image_stub(p, dim).tolist() for p in pdf["payload"]
-            ]
+            feats = [decode(bytes(p), dim).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -102,14 +153,18 @@ def _resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
     return (payload * reps)[:n]
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, kernel: str = "stub"
+) -> DataFrame:
     """mapInPandas image resize: image rows get a new payload of the
     target shape and updated meta (width/height); non-image rows pass
     through untouched. Output schema == MEDIA_SCHEMA, so resize stages
     compose with extract_features / frame_sample_plan. Blobs stay
-    inside the Arrow batch — never shuffled wider than the task."""
+    inside the Arrow batch — never shuffled wider than the task.
+    ``kernel``: "stub" or "pil" (see _resolve_kernels)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _, resize = _resolve_kernels(kernel)
         for pdf in batches:
             out_payload = []
             out_meta = []
@@ -122,7 +177,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 }
                 if kind == "image":
                     out_payload.append(
-                        _resize_image_stub(bytes(payload), width, height)
+                        resize(bytes(payload), width, height)
                     )
                     m["width"], m["height"] = width, height
                 else:
