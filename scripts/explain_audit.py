@@ -25,14 +25,19 @@ def _near_dup_edges(D, F, docs):
     part before the iterative CC), kept in lockstep with the operator
     so the audited plan is the shipped plan."""
     hashed = docs.select(
-        "doc_id", F.col("text"), F.md5(F.col("text")).alias("content_hash")
+        "doc_id",
+        F.col("text"),
+        F.coalesce(
+            F.md5(F.col("text")),
+            F.concat(F.lit("null-"), F.col("doc_id").cast("string")),
+        ).alias("content_hash"),
     )
     groups = hashed.groupBy("content_hash").agg(
         F.min("doc_id").alias("rep_id"), F.first("text").alias("text")
     )
     reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sig = D.minhash_sig_array(reps, "text")
-    cands = D.lsh_candidate_pairs(sig)
+    cands = D.lsh_candidate_pairs(sig, max_bucket_size=D.DEFAULT_MAX_BUCKET_SIZE)
     return D.jaccard_pairs(reps, threshold=0.5, candidates=cands)
 
 
@@ -128,6 +133,15 @@ def main():
          "through the (centroid -> members) equi-join, and NO "
          "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
          plan_of(QUERIES["ann_ivf_topk"](spark, SF)))
+    )
+
+    sections.append(
+        ("ann_ivf_l2_topk (L2-consistent list assignment)",
+         "Same shape as ann_ivf_topk — the only delta is the list "
+         "score expression (2*cdot - cnorm2, exact bigint micro-units) "
+         "inside the same partial-agg groupBy; still BroadcastHashJoin "
+         "for assignment, equi-join candidates, no BNLJ/cartesian.",
+         plan_of(QUERIES["ann_ivf_l2_topk"](spark, SF)))
     )
 
     # 7. jaccard with candidates: pair list joined below the agg

@@ -255,3 +255,58 @@ def test_epoch_write_replay_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r["epoch_id"] for r in got.select("epoch_id").collect()} == {0, 1}
+
+
+def test_stream_triples_rollup_composition(spark, tmp_path):
+    """Full incremental KG path: dedup -> extract (epoch-idempotent,
+    event time carried onto triples) -> watermarked per-predicate
+    rollup over the TRIPLE stream. Wave 1's hour-windows finalize once
+    wave 2 advances the watermark; every emitted window matches the
+    batch rollup over the final triple table, each exactly once."""
+    from uie_pytorch_spark.streaming import (
+        stream_extract_dedup,
+        stream_triples_rollup,
+    )
+
+    inp = str(tmp_path / "in")
+    tri = str(tmp_path / "tri")
+    out = str(tmp_path / "roll")
+    ck1 = str(tmp_path / "ck1")
+    ck2 = str(tmp_path / "ck2")
+
+    all_pages = fixture_web_pages(spark, n_docs=120, seed=33)
+    w1 = all_pages.filter(F.col("url").rlike("/page/[0-5]?[0-9]$"))
+    w2 = all_pages.subtract(w1)
+
+    w1.write.mode("overwrite").parquet(inp)
+    stream_extract_dedup(spark, inp, tri, ck1, SCHEMA)
+    # triples carry the winning url's event time
+    assert "warc_ts" in spark.read.parquet(tri).columns
+    stream_triples_rollup(spark, tri, out, ck2)  # few/no windows final
+
+    w2.write.mode("append").parquet(inp)
+    stream_extract_dedup(spark, inp, tri, ck1, SCHEMA)
+    stream_triples_rollup(spark, tri, out, ck2)  # wave-1 windows close
+
+    got = {
+        (r["window_start"], r["pred"]): r["n_triples"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no windows finalized"
+    batch = {
+        (r["w"]["start"], r["pred"]): r["n"]
+        for r in spark.read.parquet(tri)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v
+    # append mode: each (window, pred) emitted at most once
+    dupes = (
+        spark.read.parquet(out)
+        .groupBy("window_start", "pred")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dupes.count() == 0

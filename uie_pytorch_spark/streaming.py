@@ -234,11 +234,85 @@ def stream_extract_dedup(
         docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "text")
         engine = UIEEngine(spark, schema, config or UIEConfig())
         triples = UIEEngine.triples(engine.extract(docs))
+        # carry the winning url's event time onto its triples (tiny
+        # per-batch dim, broadcast) so downstream consumers — e.g.
+        # stream_triples_rollup — can do WATERMARKED event-time work
+        ts = batch_df.select(F.xxhash64("url").alias("doc_id"), "warc_ts")
+        triples = triples.join(F.broadcast(ts), "doc_id")
         _write_epoch(triples, output_path, epoch_id)
         engine.unpersist()
 
     query = (
         deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+# schema of the epoch-partitioned triple stream stream_extract_dedup
+# writes (UIEEngine.triples columns + the carried event time; epoch_id
+# is the partition directory column)
+TRIPLES_STREAM_SCHEMA = (
+    "doc_id bigint, subj_text string, subj_start bigint, subj_end bigint,"
+    " pred string, obj_text string, obj_start bigint, obj_end bigint,"
+    " subj_prob double, obj_prob double, warc_ts timestamp, epoch_id int"
+)
+
+
+def stream_triples_rollup(
+    spark: SparkSession,
+    triples_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    await_termination: bool = True,
+):
+    """Stage 2 of the incremental KG pipeline: a watermarked
+    event-time rollup OVER THE TRIPLE STREAM that stage 1
+    (stream_extract_dedup) emits — triples and approximate distinct
+    subjects/documents per (crawl-time window, predicate), append
+    mode, each window finalized exactly once after the watermark
+    passes its end.
+
+    Composition shape at web scale: crawl ingest -> stateful
+    first-seen content dedup -> epoch-idempotent extraction ->
+    windowed KG statistics, all incremental; this surface is what a
+    crawl-vs-extraction-rate dashboard reads, and the approximate
+    distinct counts (HLL sketches, mergeable across partitions) are
+    the only state it keeps per window. Exact DISTINCT is
+    deliberately not used: it is unsupported in streaming append mode
+    and unnecessary for ops metrics."""
+    tri = (
+        spark.readStream.schema(TRIPLES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(triples_path)
+    )
+    agg = (
+        tri.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+            F.approx_count_distinct("subj_text").alias("n_subjects_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pred",
+            "n_triples",
+            "n_docs_approx",
+            "n_subjects_approx",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
