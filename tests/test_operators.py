@@ -600,3 +600,74 @@ def test_resolve_kernels_unknown_name():
         MM._resolve_kernels("torchvision")
     decode, resize = MM._resolve_kernels("pil")
     assert decode is MM._pil_decode and resize is MM._pil_resize
+
+
+def test_canonical_url_mirror_equivalence(spark):
+    """Urls differing only in tracking noise / case / www / fragment /
+    trailing slash canonicalize EQUAL — the property url-level dedup
+    needs; genuinely different resources stay distinct."""
+    from uie_pytorch_spark.sources.web_pages import canonical_url
+
+    rows = [
+        (1, "https://example.com/a/b?id=7"),
+        (2, "HTTPS://WWW.Example.COM/a/b?utm_source=x&id=7#frag"),
+        (3, "https://example.com/a/b/?id=7&utm_campaign=y"),
+        (4, "https://example.com/a/b?id=8"),          # different resource
+        (5, "http://example.com/a/b?id=7"),           # different scheme
+        (6, "https://example.com/a/b?sort=asc"),      # non-tracking param
+        (7, "https://example.com/a/b?utm_x=1"),       # ONLY tracking params
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got[1] == got[2] == "https://example.com/a/b?id=7"
+    assert got[3] == got[1]
+    assert got[4] != got[1] and got[5] != got[1]
+    # non-tracking params survive; all-tracking query strips cleanly
+    assert got[6] == "https://example.com/a/b?sort=asc"
+    assert got[7] == "https://example.com/a/b"
+
+
+def test_redact_pii_counts_and_order(spark):
+    """Emails are redacted BEFORE phone matching, so an email's digits
+    never double-count as a phone; counts reflect the original text."""
+    from uie_pytorch_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "write to alice.smith+x@corp-mail.co.uk or call +44 20 7946 0958"),
+        (2, "digits 12345678901 inline and user99@mail.example.com"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+    assert "<EMAIL>" in got[1]["text_redacted"]
+    assert "<PHONE>" in got[1]["text_redacted"]
+    assert "alice" not in got[1]["text_redacted"]
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (1, 1)
+    assert got[3]["text_redacted"] == rows[2][1]
+
+
+def test_repetition_stats_known_values(spark):
+    """dup_token_ratio / top_token_frac on hand-computable docs."""
+    from uie_pytorch_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "spam spam spam eggs"),       # 4 toks, 2 distinct, top=spam 3/4
+        (2, "all unique words here"),     # 4/4 distinct
+        (3, ""),                          # no tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 2
+    assert abs(got[1]["dup_token_ratio"] - 0.5) < 1e-12
+    assert got[1]["top_token"] == "spam"
+    assert abs(got[1]["top_token_frac"] - 0.75) < 1e-12
+    assert got[2]["dup_token_ratio"] == 0.0
+    # deterministic tie-break: equal tf -> lexicographically smallest
+    assert got[2]["top_token"] == "all"

@@ -166,3 +166,74 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct_tokens"),
         )
     )
+
+
+# -- PII redaction (training-data hygiene) ----------------------------
+# Patterns deliberately use explicit char classes only, so Spark's
+# Java regex and DuckDB's RE2 agree byte-for-byte (the oracle replays
+# the redaction).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails and phone-like digit runs from the corpus — the
+    standard pre-training redaction pass. One projection, whole-stage
+    codegen, no Python: counts come from regexp_extract_all BEFORE
+    replacement (emails first, so their digits can't double-count as
+    phones in the redacted text)."""
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0)
+        ).alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_RE, "<PHONE>").alias(
+            "text_redacted"
+        ),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition features (the Gopher/C4-style
+    repetitious-text filter signal): total vs distinct token counts,
+    the duplicate-token ratio, and the most frequent token with its
+    frequency share. Shape is one explode + one partial-aggregatable
+    (doc, token) groupBy + one per-doc window — the same skeleton as
+    fingerprint(), linear in corpus size at any scale. Docs with zero
+    tokens have no repetition signal and are absent from the output
+    (gate them on length instead)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(r"[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("tok").asc()
+    )
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), "tf")
+    )
+    return agg.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias(
+            "dup_token_ratio"
+        ),
+        "top_token",
+        (F.col("tf") / F.col("n_tokens")).alias("top_token_frac"),
+    )

@@ -759,6 +759,187 @@ def corpus_filter_pipeline(spark, sf_dir):
     return TS.corpus_filter(_t(spark, sf_dir, "documents"))
 
 
+# url corpus synthesized deterministically from (doc_id, source) on
+# BOTH sides — the documents fixture has no url column; the operator
+# under test is canonical_url's regexp algebra, which DuckDB replays.
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM/Path/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '/?utm_source=feed&utm_campaign=x&id='
+                       ELSE '?id=' END
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+               AS url
+      FROM documents
+"""
+
+
+@query(
+    "url_canonicalize",
+    f"""
+    WITH raw AS ({_URL_SYNTH_SQL}),
+    s1 AS (
+      SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS u
+      FROM raw
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               lower(regexp_extract(
+                 u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+               '^www\\.', '', 'g') AS host,
+             regexp_extract(
+               u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+      FROM s1
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host ||
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   rest, '(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*&?', '', 'g'),
+                 '[?&]+$', '', 'g'),
+               '/+\\?', '?', 'g'),
+             '/+$', '', 'g') AS canonical_url
+    FROM parts
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization (web-corpus dedup hygiene): lowercase
+    scheme/host, strip www./fragments/tracking params/trailing
+    slashes — urls differing only in tracking noise canonicalize
+    equal, making url-level dedup meaningful before content hashing.
+    Urls are synthesized deterministically from (doc_id, source) on
+    both engine and oracle sides."""
+    from .sources.web_pages import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/Path/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("/?utm_source=feed&utm_campaign=x&id="),
+            ).otherwise(F.lit("?id=")),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    return raw.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canonical_url")
+    )
+
+
+@query(
+    "pii_redaction",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id % 100 AS VARCHAR)
+                            || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call +1 555 01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                       ELSE '' END
+               AS text
+      FROM documents
+    ),
+    no_email AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(
+               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS INT) AS n_emails,
+             regexp_replace(
+               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+      FROM seeded
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t, '\\+?[0-9][0-9 -]{6,}[0-9]'))
+             AS INT) AS n_phones,
+           regexp_replace(t, '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')
+             AS text_redacted
+    FROM no_email
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrub (training-data hygiene): emails then phone-like
+    digit runs replaced by typed placeholders, with per-doc counts.
+    PII is seeded deterministically into the fixture text on both
+    engine and oracle sides (the corpus itself is a clean word
+    salad)."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +1 555 01"),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TS.redact_pii(seeded)
+
+
+@query(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM tf GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, tok AS top_token, tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, tok) AS rn
+      FROM tf
+    )
+    SELECT a.doc_id, a.n_tokens, a.n_distinct,
+           1.0 - a.n_distinct * 1.0 / a.n_tokens AS dup_token_ratio,
+           t.top_token, t.tf * 1.0 / a.n_tokens AS top_token_frac
+    FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Within-document repetition features (Gopher/C4-style
+    repetitious-text filter signal): duplicate-token ratio + top-token
+    frequency share per doc — one explode, one combinable (doc, token)
+    groupBy, one per-doc window."""
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "doc_fingerprint",
     f"""

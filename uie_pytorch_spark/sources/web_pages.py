@@ -141,3 +141,38 @@ def write_triples(df: DataFrame, target: str) -> None:
         df.writeTo(target[len("iceberg:"):]).append()
     else:
         df.write.mode("append").parquet(target)
+
+
+# Tracking query parameters stripped by canonical_url (the usual
+# Common-Crawl / mirror-detection hygiene set).
+TRACKING_PARAM_RE = r"(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*&?"
+
+
+def canonical_url(url) -> F.Column:
+    """URL canonicalization for web-corpus dedup: lowercase
+    scheme+host, drop a leading 'www.', strip the fragment, remove
+    tracking query parameters (TRACKING_PARAM_RE) and dangling
+    '?'/'&', and trim trailing slashes. Pure native regexp
+    expressions (whole-stage codegen; explicit char classes only so a
+    DuckDB oracle replays it byte-for-byte) — two mirror urls that
+    differ only in tracking noise canonicalize equal, which is what
+    makes url-level dedup meaningful BEFORE content hashing."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+        ),
+        r"^www\.",
+        "",
+    )
+    rest = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1
+    )
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/+\?", "?")  # path/?q -> path?q
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
