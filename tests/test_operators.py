@@ -671,3 +671,39 @@ def test_repetition_stats_known_values(spark):
     assert got[2]["dup_token_ratio"] == 0.0
     # deterministic tie-break: equal tf -> lexicographically smallest
     assert got[2]["top_token"] == "all"
+
+
+def test_asof_join_semantics(spark):
+    """Hand-computable as-of join: latest-at-or-before per key, tie at
+    equal time matches, no-prior-row keeps nulls, tolerance nulls out
+    stale matches, clashing column names get the suffix."""
+    from uie_pytorch_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 8, "b"), (1, 2, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k: long, ts: long, v: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30), (1, 8, 80), (2, 1, 10)],
+        "k: long, ts: long, state: long",
+    )
+    got = {
+        r["v"]: (r["ts_right"], r["state"])
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert got["a"] == (3, 30)      # latest at-or-before 5 is ts=3
+    assert got["b"] == (8, 80)      # tie at 8 matches (>= semantics)
+    assert got["c"] == (None, None)  # nothing at-or-before 2
+    assert got["d"] == (1, 10)
+    assert got["e"] == (None, None)  # key 3 has no right rows at all
+    # row count preserved (left join), no duplication from the union
+    assert asof_join(left, right, on="ts", by="k").count() == 5
+
+    # tolerance: d's match is 6 units old -> nulled at tolerance=5
+    tol = {
+        r["v"]: r["state"]
+        for r in asof_join(
+            left, right, on="ts", by="k", tolerance=5
+        ).collect()
+    }
+    assert tol["a"] == 30 and tol["b"] == 80 and tol["d"] is None

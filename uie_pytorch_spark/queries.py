@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from .core.textnorm import DBC_FROM, DBC_TO
 from .operators import dedup as D
 from .operators import similarity as SIM
+from .operators import temporal as TEMP
 from .operators import textstats as TS
 from .operators.hashing import MINHASH_COEFFS, MINHASH_PRIME, h60, h60_sql
 
@@ -938,6 +939,49 @@ def repetition_stats(spark, sf_dir):
     frequency share per doc — one explode, one combinable (doc, token)
     groupBy, one per-doc window."""
     return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "asof_join_events",
+    """
+    WITH r AS (
+      SELECT user_id, ts, max(value) AS state
+      FROM events WHERE event_id % 10 = 0
+      GROUP BY user_id, ts
+    ),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_sec,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS state_ts_sec,
+           r.state
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators/temporal.py): every event picks up the
+    user's LATEST sampled state at-or-before its timestamp — the
+    event-to-state attachment pattern (prices, profiles, configs).
+    One union + one shuffle+sort + a running last(ignorenulls)
+    window; DuckDB's native ASOF LEFT JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state"))
+    )
+    left = ev.filter(F.col("event_id") % 10 != 0).select(
+        "event_id", "user_id", "ts"
+    )
+    out = TEMP.asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        F.unix_timestamp("ts_right").alias("state_ts_sec"),
+        "state",
+    )
 
 
 @query(
