@@ -707,3 +707,25 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert tol["a"] == 30 and tol["b"] == 80 and tol["d"] is None
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-computable sessions: gap > threshold starts a new session;
+    ids are dense 1-based per key; tiebreak makes order total."""
+    from uie_pytorch_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 1, 0), (2, 1, 100), (3, 1, 2000),   # 100->2000 gap=1900 > 1800
+        (4, 1, 3000), (5, 2, 50),
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: long")
+    got = {
+        r["event_id"]: (r["session_start"], r["session_id"])
+        for r in sessionize(
+            df, on="ts", by="user_id", gap=1800, order_tiebreak="event_id"
+        ).collect()
+    }
+    assert got[1] == (1, 1) and got[2] == (0, 1)
+    assert got[3] == (1, 2)            # 1900s gap -> new session
+    assert got[4] == (0, 2)            # 1000s gap -> same session
+    assert got[5] == (1, 1)            # other user starts at 1

@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _epoch_seconds(col: F.Column, dtype: str) -> F.Column:
+    """Fractional epoch seconds from a numeric or timestamp column.
+    Spark 4 (ANSI) refuses TIMESTAMP_NTZ -> DOUBLE directly; going
+    through TIMESTAMP_LTZ keeps the microsecond fraction (differences
+    are tz-shift-invariant, which is all the gap/tolerance math
+    needs)."""
+    if dtype.startswith("timestamp"):
+        return col.cast("timestamp_ltz").cast("double")
+    return col.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -86,8 +97,11 @@ def asof_join(
     )
     matched = F.last("__r", ignorenulls=True).over(w)
     if tolerance is not None:
-        age = F.col("__t").cast("double") - matched[f"{on}{suffix}"].cast(
-            "double"
+        tdtype = dict(
+            (f.name, f.dataType.simpleString()) for f in u.schema
+        )["__t"]
+        age = _epoch_seconds(F.col("__t"), tdtype) - _epoch_seconds(
+            matched[f"{on}{suffix}"], tdtype
         )
         matched = F.when(age <= tolerance, matched)
     out = (
@@ -96,3 +110,47 @@ def asof_join(
         .select("__l.*", *[F.col(f"__m.{f.name}") for f in rtype.fields])
     )
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    on: str = "ts",
+    by: Union[str, Sequence[str]] = "user_id",
+    gap: int = 1800,
+    order_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Gap-based sessionization: events of a key belong to the same
+    session while consecutive gaps stay <= ``gap`` seconds; a larger
+    gap (or the key's first event) starts a new session. Returns the
+    input plus ``session_start`` (0/1) and ``session_id`` (1-based
+    per key, dense).
+
+    Shape: one shuffle+sort per key group and two stacked window
+    functions (lag + running sum) — the batch twin of Structured
+    Streaming's ``session_window``, but deterministic and
+    oracle-replayable (lag/cumsum is plain ANSI SQL; streaming
+    session_window state is not). ``order_tiebreak``: optional column
+    making the within-key order total when timestamps collide (e.g.
+    an event id), so session ids are reproducible run-to-run."""
+    keys: List[str] = [by] if isinstance(by, str) else list(by)
+    order = [F.col(on).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    dtype = dict(
+        (f.name, f.dataType.simpleString()) for f in events.schema
+    )[on]
+    t = _epoch_seconds(F.col(on), dtype)
+    prev = F.lag(t).over(w)
+    start = F.when(
+        prev.isNull() | ((t - prev) > F.lit(float(gap))), 1
+    ).otherwise(0)
+    running = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = events.withColumn("session_start", start)
+    return out.withColumn(
+        "session_id", F.sum("session_start").over(running).cast("long")
+    )

@@ -985,6 +985,43 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "sessionize_events",
+    """
+    WITH lagd AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       THEN 1 ELSE 0 END AS INT) AS session_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts_sec, session_start,
+           CAST(sum(session_start)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM lagd
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (operators/temporal.py): per-user
+    dense session ids from a 30-min inactivity gap — lag + running
+    sum, one shuffle+sort; the deterministic batch twin of streaming
+    session_window."""
+    ev = _t(spark, sf_dir, "events")
+    out = TEMP.sessionize(
+        ev, on="ts", by="user_id", gap=1800, order_tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "session_start",
+        "session_id",
+    )
+
+
+@query(
     "doc_fingerprint",
     f"""
     WITH toks AS (
