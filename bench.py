@@ -337,9 +337,11 @@ def main():
                 break  # budget spent: keep the pairs we have
             # replicate scales the corpus so model compute dominates
             # the fixed driver/scheduler seconds (which do NOT scale
-            # and dilute measured efficiency); capped at 6 to bound
-            # the 8:32 window inside the budget
-            rep = min(max(1, (big * rep_mult) // 8), 6)
+            # and dilute measured efficiency); capped at 6, and at 4
+            # for NON-primary pairs — they are corroborating evidence,
+            # and a cheaper window leaves budget for the primary
+            # pair's quiet-sample top-ups
+            rep = min(max(1, (big * rep_mult) // 8), 6 if pair_idx == 0 else 4)
             # INTERLEAVED windows, steal-aware min per side. This VM's
             # throughput drifts ±20-80% over minutes (hypervisor
             # steal / noisy neighbors) — sampling both sides within
@@ -390,20 +392,22 @@ def main():
                     samples[cores].append((round(t, 3), steal))
                     triples[cores] = n
                 window_cost = time.monotonic() - w0
-            # single-side top-up (all pairs): when one side never
-            # landed a quiet sample but the other did, resample JUST
-            # that side (half a window) while budget remains — the
-            # per-side min makes lone samples usable, and this is
-            # exactly the round-3 failure (every window of one side
-            # contended) at half the repair cost of a full window
+            # single-side top-up (all pairs): when a side holds fewer
+            # than TWO quiet-tier samples (run-to-run spread on this
+            # VM is ~5% even in quiet windows, so a lone quiet sample
+            # is a noisy min), resample JUST that side (half a window)
+            # while budget remains — the per-side min makes lone
+            # samples usable, and this is exactly the round-3 failure
+            # (every window of one side contended) at half the repair
+            # cost of a full window. The noisier SMALL side is topped
+            # up first (it dominates the ratio's variance).
             for _ in range(2):
                 dirty = [
                     c for c in (small, big)
                     if samples[c]
-                    and not [
-                        t for t, s in samples[c]
-                        if s <= _CLEAN_TIERS[0]
-                    ]
+                    and len(
+                        [t for t, s in samples[c] if s <= _CLEAN_TIERS[0]]
+                    ) < 2
                 ]
                 if not dirty or time.monotonic() > deadline - (
                     window_cost / 2
