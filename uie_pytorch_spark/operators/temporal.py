@@ -53,7 +53,10 @@ def asof_join(
 
     Ties: a right row AT the left row's exact time matches (>=
     semantics, same as DuckDB ASOF JOIN — the oracle replays this
-    operator 1:1).
+    operator 1:1). The right side should be unique per (key, time) —
+    with several right rows at the SAME instant, which one wins is an
+    arbitrary (stable-sort) tie; pre-aggregate to one state per
+    (key, time) for deterministic output (asof_join_events does).
     """
     keys: List[str] = [by] if isinstance(by, str) else list(by or [])
     lcols = left.columns
