@@ -237,3 +237,38 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "top_token",
         (F.col("tf") / F.col("n_tokens")).alias("top_token_frac"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram log-probability per document — the
+    cheap perplexity proxy (CCNet-style) used to rank documents by
+    "ordinariness": avg over tokens of ln(tf_corpus / N). Low scores
+    flag gibberish / rare-token soup; high scores flag boilerplate.
+
+    Shape at 100 TB: one combinable (token) groupBy builds the
+    frequency table, one equi-join scores tokens, one per-doc agg —
+    and the corpus-total N enters as ``avg(ln tf) - ln N`` so it is a
+    single broadcast scalar, never a skewed join key. Zero-token docs
+    are absent (gate on length elsewhere)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(r"[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("tf")).alias("_avg_ln_tf"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_avg_ln_tf") - F.log("n")).alias("avg_logprob"),
+    )

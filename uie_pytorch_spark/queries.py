@@ -942,6 +942,30 @@ def repetition_stats(spark, sf_dir):
 
 
 @query(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT sum(tf) AS n FROM freq)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(ln(f.tf)) - ln((SELECT n FROM tot)) AS avg_logprob
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram log-probability per doc — the cheap
+    perplexity proxy (CCNet-style) for quality ranking; the corpus
+    total enters as a broadcast scalar (avg(ln tf) - ln N), never a
+    join key."""
+    return TS.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "asof_join_events",
     """
     WITH r AS (
