@@ -729,3 +729,58 @@ def test_sessionize_gap_semantics(spark):
     assert got[3] == (1, 2)            # 1900s gap -> new session
     assert got[4] == (0, 2)            # 1000s gap -> same session
     assert got[5] == (1, 1)            # other user starts at 1
+
+
+def test_cdc_segments_shift_invariance(spark):
+    """The CDC property: a shared text region produces IDENTICAL
+    segment hashes regardless of its offset in the document — a
+    prefix insertion only perturbs the segments it touches. (A
+    fixed-width chunker shares ~nothing after a 17-char shift.)"""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "china", "delta", "echos", "foxtr",
+             "golfy", "hotel", "indía", "julie"]
+    shared = " ".join(rng.choice(words) for _ in range(120))  # ~700 chars
+    docs = spark.createDataFrame(
+        [(1, shared), (2, "unrelated prefix " + shared)],
+        "doc_id: long, text: string",
+    )
+    segs = D.cdc_segments(docs).collect()
+    h1 = {r["seg_hash"] for r in segs if r["doc_id"] == 1}
+    h2 = {r["seg_hash"] for r in segs if r["doc_id"] == 2}
+    # everything but the first segment (prefix-perturbed) realigns
+    overlap = len(h1 & h2) / len(h1)
+    assert overlap >= 0.8, overlap
+    # segments tile each doc exactly: starts/lengths contiguous
+    for d in (1, 2):
+        rows = sorted(
+            (r["seg_start"], r["seg_len"])
+            for r in segs if r["doc_id"] == d
+        )
+        assert rows[0][0] == 1
+        for (s1, l1), (s2, _l2) in zip(rows, rows[1:]):
+            assert s1 + l1 == s2
+    # short text -> single whole-doc segment; empty text -> absent
+    tiny = spark.createDataFrame(
+        [(10, "abc"), (11, "")], "doc_id: long, text: string"
+    )
+    got = D.cdc_segments(tiny).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 10
+    assert (got[0]["seg_start"], got[0]["seg_len"]) == (1, 3)
+
+
+def test_cdc_shared_segments_finds_common_footer(spark):
+    """Docs sharing a footer at different offsets collapse under the
+    same segment hashes in the cross-doc report."""
+    footer = ("standard legal footer all rights reserved contact the "
+              "webmaster for questions about this site ") * 2
+    docs = spark.createDataFrame(
+        [(1, "short body. " + footer),
+         (2, "a much longer and entirely different body text here. " + footer),
+         (3, "no footer at all in this one, just original content.")],
+        "doc_id: long, text: string",
+    )
+    rep = D.cdc_shared_segments(docs, min_len=20).collect()
+    assert rep, "no shared segments found"
+    assert all(r["n_docs"] == 2 for r in rep)  # docs 1+2, never 3

@@ -386,3 +386,90 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFram
             ).alias("simhash")
         )
     )
+
+
+def cdc_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = DEFAULT_SHINGLE,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking: split each document into variable-
+    length segments whose boundaries are picked BY CONTENT (positions
+    where the rolling window hash hits ``h % (mask+1) == 0``;
+    expected segment length ~= mask+1 chars), not by fixed offsets.
+    The CDC property that makes this the segment-dedup weapon: two
+    documents sharing a text region produce IDENTICAL segments inside
+    that region even when it sits at different offsets (an insertion
+    only perturbs the segments it touches), so shared boilerplate
+    paragraphs collapse under one content hash where fixed-width
+    chunking would share nothing.
+
+    Returns (doc_id, seg_idx, seg_start, seg_len, seg_hash) —
+    seg_start is 1-based, seg_hash = md5 of the segment text.
+
+    Scale shape: segmentation is ENTIRELY per-row array algebra
+    (sequence -> filter -> zip_with -> posexplode) — zero shuffles,
+    whole-stage codegen, and the document text is never replicated
+    per segment in any exchange; only the downstream seg_hash groupBy
+    (one combinable agg) shuffles, carrying hashes, not text."""
+    t = F.col(text_col)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (width - 1), F.lit(1)))
+    bnd = F.filter(
+        idx,
+        lambda i: (h60(t.substr(i, F.lit(width))) % F.lit(mask + 1))
+        == F.lit(0),
+    )
+    starts = F.array_sort(
+        F.array_distinct(F.concat(F.array(F.lit(1)), bnd))
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    segs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("seg_start"),
+            (e - s).alias("seg_len"),
+            F.md5(t.substr(s, e - s)).alias("seg_hash"),
+        ),
+    )
+    return (
+        docs.filter(n > 0)
+        .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+        .select(
+            "doc_id",
+            (F.col("seg_idx") + 1).alias("seg_idx"),
+            F.col("seg.seg_start").alias("seg_start"),
+            F.col("seg.seg_len").alias("seg_len"),
+            F.col("seg.seg_hash").alias("seg_hash"),
+        )
+    )
+
+
+def cdc_shared_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = DEFAULT_SHINGLE,
+    mask: int = 63,
+    min_len: int = 20,
+) -> DataFrame:
+    """Cross-document boilerplate report: CDC segments of at least
+    ``min_len`` chars that occur in MORE than one document, with how
+    many docs share them — the paragraph-level twin of
+    exact_dup_groups (Lee et al.'s dedup intuition at segment
+    granularity). One combinable groupBy over segment hashes."""
+    segs = cdc_segments(docs, text_col, width, mask)
+    return (
+        segs.filter(F.col("seg_len") >= min_len)
+        .groupBy("seg_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("seg_len").alias("seg_len"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -965,6 +965,90 @@ def unigram_logprob(spark, sf_dir):
     return TS.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+# CDC boundary rule, DuckDB rendering: position i starts a segment
+# when the 60-bit hash of the width-5 window at i hits % 64 == 0
+_CDC_SEG_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM {{src}} WHERE length(text) > 0
+    ),
+    pos AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(1, greatest(n - 4, 1))) AS i
+      FROM d
+    ),
+    bnd AS (
+      SELECT doc_id, text, n, i FROM pos
+      WHERE i = 1 OR {h60_sql("substr(text, i, 5)")} % 64 = 0
+    ),
+    seg AS (
+      SELECT doc_id,
+             CAST(row_number() OVER w AS INT) AS seg_idx,
+             CAST(i AS INT) AS seg_start,
+             CAST(coalesce(lead(i) OVER w, n + 1) - i AS INT) AS seg_len,
+             text
+      FROM bnd
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    )
+    SELECT doc_id, seg_idx, seg_start, seg_len,
+           md5(substr(text, seg_start, seg_len)) AS seg_hash
+    FROM seg
+"""
+
+
+@query("cdc_segments", _CDC_SEG_SQL.format(src="documents"))
+def cdc_segments(spark, sf_dir):
+    """Content-defined chunking segmentation (operators/dedup.py):
+    boundaries picked by content hash, so shared text regions yield
+    identical segments at ANY offset. Pure per-row array algebra —
+    zero shuffles, text never replicated into an exchange."""
+    return D.cdc_segments(_t(spark, sf_dir, "documents"))
+
+
+_CDC_FOOTER = (
+    "boilerplate footer subscribe to our newsletter for updates "
+    "terms of service privacy policy all rights reserved contact "
+    "us at the address below follow us on social media thank you "
+    "for reading this page"
+)
+
+
+@query(
+    "cdc_shared_boilerplate",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 0
+                          THEN ' {_CDC_FOOTER}' ELSE '' END AS text
+      FROM documents
+    ),
+    segs AS ({_CDC_SEG_SQL.format(src="seeded")})
+    SELECT seg_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(seg_len) AS INT) AS seg_len
+    FROM segs WHERE seg_len >= 20
+    GROUP BY seg_hash HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def cdc_shared_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate report: CDC segments >= 20 chars
+    shared by >1 document — the paragraph-level dedup signal. A
+    fixed footer is appended to every 4th doc on BOTH sides; because
+    CDC boundaries are content-defined, the footer's interior
+    segments hash identically at every offset it lands on (the
+    shift-invariance fixed-width chunking lacks)."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CDC_FOOTER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.cdc_shared_segments(seeded, min_len=20)
+
+
 @query(
     "asof_join_events",
     """
