@@ -96,18 +96,40 @@ class TinyUIE:
 
     @staticmethod
     def _ln(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """LayerNorm, IN PLACE on ``x`` (callers pass a residual sum
+        they no longer need). Bitwise-identical to the textbook
+        ``((x - mu) / sqrt(var + eps)) * g + b``: every rewrite below
+        relies only on IEEE commutativity of +/* (exact), never on
+        reassociation — this kernel is memory-bandwidth-bound at high
+        worker counts, and the temporaries were ~1/3 of its DRAM
+        traffic."""
         mu = x.mean(axis=-1, keepdims=True)
-        var = x.var(axis=-1, keepdims=True)
-        return ((x - mu) / np.sqrt(var + np.float32(1e-5))) * g + b
+        s = x.var(axis=-1, keepdims=True)
+        s += np.float32(1e-5)
+        np.sqrt(s, out=s)
+        x -= mu
+        x /= s
+        x *= g
+        x += b
+        return x
 
     @staticmethod
     def _gelu(x: np.ndarray) -> np.ndarray:
+        """tanh-GELU, two allocations instead of eight. Bitwise-equal
+        to ``0.5 * x * (1 + tanh(c * (x + 0.044715*x*x*x)))`` under
+        left-association: scalar*x == x*scalar and a+b == b+a are
+        EXACT in IEEE; no grouping is changed."""
         c = np.float32(0.7978845608028654)  # sqrt(2/pi)
-        return (
-            np.float32(0.5)
-            * x
-            * (np.float32(1.0) + np.tanh(c * (x + np.float32(0.044715) * x * x * x)))
-        )
+        t = x * np.float32(0.044715)   # (0.044715*x)
+        t *= x                          # (0.044715*x)*x
+        t *= x                          # ((0.044715*x)*x)*x
+        t += x                          # x + cubic  (commutative)
+        t *= c                          # c * (...)  (commutative)
+        np.tanh(t, out=t)
+        t += np.float32(1.0)            # 1 + tanh   (commutative)
+        u = x * np.float32(0.5)         # (0.5*x)
+        u *= t                          # (0.5*x) * (1 + tanh(...))
+        return u
 
     def forward(
         self,
@@ -121,11 +143,11 @@ class TinyUIE:
         sigmoid per-token start/end probabilities.
         """
         B, L = input_ids.shape
-        x = (
-            self.tok_emb[input_ids]
-            + self.pos_emb[:L][None, :, :]
-            + self.seg_emb[token_type_ids]
-        ).astype(np.float32)
+        # embedding sum built in place on the gather's fresh buffer
+        # ((tok + pos) + seg, same grouping as the naive expression)
+        x = self.tok_emb[input_ids]
+        x += self.pos_emb[:L][None, :, :]
+        x += self.seg_emb[token_type_ids]
 
         # additive key mask: 0 for real tokens, -1e9 for pads (exp -> 0.0)
         # shape (B, 1, 1, L) broadcasting over heads and query positions
@@ -156,9 +178,18 @@ class TinyUIE:
             denom = scores.sum(axis=-1, keepdims=True)
             scores /= denom
             ctx = (scores @ vh).transpose(0, 2, 1, 3).reshape(B, L, self.h)
-            x = self._ln(x + ctx @ blk["wo"], blk["ln1_g"], blk["ln1_b"])
-            ff = self._gelu(x @ blk["w1"] + blk["b1"]) @ blk["w2"] + blk["b2"]
-            x = self._ln(x + ff, blk["ln2_g"], blk["ln2_b"])
+            # residuals accumulate in place ON the fresh matmul output
+            # (x + ctx@wo == ctx@wo + x, commutative-exact); _ln then
+            # normalizes that buffer in place
+            r = ctx @ blk["wo"]
+            r += x
+            x = self._ln(r, blk["ln1_g"], blk["ln1_b"])
+            ff = x @ blk["w1"]
+            ff += blk["b1"]
+            ff = self._gelu(ff) @ blk["w2"]
+            ff += blk["b2"]
+            ff += x
+            x = self._ln(ff, blk["ln2_g"], blk["ln2_b"])
 
         start_prob = _sigmoid(x @ self.w_start[:, 0] + self.b_start)
         end_prob = _sigmoid(x @ self.w_end[:, 0] + self.b_end)
