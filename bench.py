@@ -453,6 +453,19 @@ def main():
                     str(big): None
                     if tiers[big] == float("inf") else tiers[big],
                 },
+                # one-word trust label for the ratio: "clean" = both
+                # sides measured in quiet windows; "mixed" = at most
+                # mild contention; "contended" = at least one side had
+                # NO window under 15% steal/busy — treat the ratio as
+                # weather-distorted (a contended SMALL side inflates
+                # it, a contended BIG side deflates it)
+                "weather_quality": (
+                    "clean"
+                    if max(tiers[small], tiers[big]) <= _CLEAN_TIERS[0]
+                    else "mixed"
+                    if max(tiers[small], tiers[big]) <= _CLEAN_TIERS[1]
+                    else "contended"
+                ),
                 "triples": triples[big],
                 f"triples_per_sec_local{small}": round(triples[small] / times[small], 2),
                 f"triples_per_sec_local{big}": round(triples[big] / times[big], 2),
