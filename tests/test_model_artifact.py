@@ -53,6 +53,34 @@ def test_tampered_artifact_changes_output(tmp_path):
     assert s1.tobytes() != s2.tobytes()
 
 
+def test_load_weights_coerces_dtype(tmp_path):
+    """An artifact whose arrays were saved in float64 must load as
+    float32 and produce BITWISE the same output as the original model
+    — the in-place forward() kernels propagate the buffer dtype, so
+    without coercion the whole encoder would silently run in f64."""
+    m = TinyUIE(seed=123)
+    path = save_weights(m, str(tmp_path / "w"))
+    z = dict(np.load(path))
+    widened = {
+        k: (v.astype(np.float64) if v.dtype == np.float32 else v)
+        for k, v in z.items()
+    }
+    with open(path, "wb") as f:
+        np.savez(f, **widened)
+    m2 = load_weights(path)
+    assert m2.tok_emb.dtype == np.float32
+    assert all(
+        blk[k].dtype == np.float32 for blk in m2.blocks for k in blk
+    )
+    ids = np.array([[3, 5, 7, 2, 0, 0]], dtype=np.int64)
+    tt = np.zeros_like(ids)
+    am = np.array([[1, 1, 1, 1, 0, 0]], dtype=np.int64)
+    s1, e1 = m.forward(ids, tt, am)
+    s2, e2 = m2.forward(ids, tt, am)
+    assert s1.tobytes() == s2.tobytes()
+    assert e1.tobytes() == e2.tobytes()
+
+
 def test_backend_validation():
     with pytest.raises(ValueError, match="backend"):
         get_model(1, backend="tensorflow")

@@ -709,6 +709,22 @@ def test_asof_join_semantics(spark):
     assert tol["a"] == 30 and tol["b"] == 80 and tol["d"] is None
 
 
+def test_asof_join_input_validation(spark):
+    """Misuse fails loudly: a reserved working-column collision and
+    on∈by both raise instead of silently corrupting the join."""
+    import pytest as _pytest
+
+    from uie_pytorch_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k: long, ts: long")
+    right = spark.createDataFrame([(1, 3, 30)], "k: long, ts: long, s: long")
+    with _pytest.raises(ValueError, match="'by' key"):
+        asof_join(left, right, on="ts", by=["k", "ts"])
+    clash = left.withColumn("__tag", F.lit(1))
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(clash, right, on="ts", by="k")
+
+
 def test_sessionize_gap_semantics(spark):
     """Hand-computable sessions: gap > threshold starts a new session;
     ids are dense 1-based per key; tiebreak makes order total."""

@@ -257,6 +257,63 @@ def test_epoch_write_replay_idempotent(spark, tmp_path):
     assert {r["epoch_id"] for r in got.select("epoch_id").collect()} == {0, 1}
 
 
+def test_stream_dedup_recrawl_same_url_no_triple_dupes(spark, tmp_path):
+    """One micro-batch holding TWO distinct-content pages at the SAME
+    url (a recrawl whose content changed): content-keyed first-seen
+    dedup keeps both, they share one xxhash64(url) doc_id, and the
+    event-time join-back must still emit each triple ONCE (with the
+    earliest warc_ts), not once per surviving page row."""
+    import datetime as dt
+
+    from uie_pytorch_spark.sources.web_pages import WEB_PAGES_SCHEMA
+    from uie_pytorch_spark.streaming import stream_extract_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    url = "https://example.com/page/0"
+    # two DISTINCT fixture texts that each yield triples under SCHEMA
+    # (picked from the standard corpus so the assertion is non-vacuous)
+    pool = fixture_web_pages(spark, n_docs=12, seed=44)
+    eng0 = UIEEngine(spark, SCHEMA, UIEConfig())
+    docs0 = pool.select(F.xxhash64("url").alias("doc_id"), "text", "url")
+    fertile = (
+        UIEEngine.triples(eng0.extract(docs0))
+        .join(docs0, "doc_id")
+        .select("text")
+        .distinct()
+        .limit(2)
+        .collect()
+    )
+    assert len(fertile) == 2
+    texts = [r["text"] for r in fertile]
+    rows = [
+        (
+            url,
+            dt.datetime(2024, 1, 1, 0, 10 * (i + 1)),
+            b"<html><body>" + t.encode("utf-8") + b"</body></html>",
+            t,
+            "zh",
+        )
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(rows, WEB_PAGES_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    stream_extract_dedup(spark, inp, out, ckpt, SCHEMA)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0  # the fixture texts must actually extract
+    # pre-fix, the per-doc_id ts dim held BOTH crawl timestamps, so the
+    # join-back doubled every triple (one copy per ts). Post-fix every
+    # triple appears under exactly one timestamp — the earliest.
+    ts = {r["warc_ts"] for r in got.select("warc_ts").collect()}
+    assert ts == {dt.datetime(2024, 1, 1, 0, 10)}
+    body = [c for c in got.columns if c not in ("warc_ts", "epoch_id")]
+    assert got.count() == got.select(*body, "warc_ts").distinct().count()
+
+
 def test_stream_triples_rollup_composition(spark, tmp_path):
     """Full incremental KG path: dedup -> extract (epoch-idempotent,
     event time carried onto triples) -> watermarked per-predicate

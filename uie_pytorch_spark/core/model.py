@@ -306,13 +306,23 @@ def load_weights(path: str) -> TinyUIE:
     """Rebuild the model purely from the artifact — no seed
     regeneration (the from-disk proof for the swap-in seam)."""
     z = np.load(path)
+
+    # The in-place forward() kernels assume float32 throughout (the
+    # embedding gather's buffer dtype propagates through every += /
+    # *=); an artifact saved in another dtype would silently run the
+    # whole encoder in that dtype and change outputs. Coerce on load
+    # so the kernels' bitwise-neutrality claim holds for loaded
+    # checkpoints, not just seed-built models.
+    def f32(a: np.ndarray) -> np.ndarray:
+        return a if a.dtype == np.float32 else a.astype(np.float32)
+
     m = TinyUIE.__new__(TinyUIE)
-    m.tok_emb = z["tok_emb"]
-    m.pos_emb = z["pos_emb"]
-    m.seg_emb = z["seg_emb"]
-    m.w_start = z["w_start"]
+    m.tok_emb = f32(z["tok_emb"])
+    m.pos_emb = f32(z["pos_emb"])
+    m.seg_emb = f32(z["seg_emb"])
+    m.w_start = f32(z["w_start"])
     m.b_start = np.float32(z["b_start"][()])
-    m.w_end = z["w_end"]
+    m.w_end = f32(z["w_end"])
     m.b_end = np.float32(z["b_end"][()])
     m.seed = int(z["seed"][()])
     m.heads = int(z["heads"][()])
@@ -321,7 +331,7 @@ def load_weights(path: str) -> TinyUIE:
     m.blocks = []
     j = 0
     while f"blk{j}_wq" in z:
-        m.blocks.append({k: z[f"blk{j}_{k}"] for k in _BLOCK_KEYS})
+        m.blocks.append({k: f32(z[f"blk{j}_{k}"]) for k in _BLOCK_KEYS})
         j += 1
     m.layers = j
     return m

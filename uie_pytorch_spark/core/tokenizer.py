@@ -152,9 +152,18 @@ def basic_spans(s: str) -> List[tuple]:
 
 def _lower_keep_len(word: str) -> str:
     """Length-preserving lowercase: chars whose ``str.lower()`` changes
-    length (e.g. 'İ' -> 'i̇', 'ẞ' -> 'ss') are kept as-is so piece
-    offsets computed against the lowered string always index the
-    ORIGINAL string (the offsets are char spans into ``s``)."""
+    length (e.g. 'İ' -> 'i̇'; note 'ẞ'.lower() is 'ß', length 1 — the
+    'ss' expansion belongs to ``casefold()``, which is why lower(), not
+    casefold(), is used here) are kept as-is so piece offsets computed
+    against the lowered string always index the ORIGINAL string (the
+    offsets are char spans into ``s``).
+
+    Known divergence from whole-string ``str.lower()``: per-char
+    lowering drops context-sensitive mappings (Greek capital sigma
+    lowercases to final 'ς' at word end but 'σ' elsewhere; per-char
+    always yields 'σ'), so a lowered piece can differ from the
+    corresponding slice of ``word.lower()`` — deliberate: offsets
+    always win over caseform fidelity in this seam."""
     low = word.lower()
     if len(low) == len(word):
         return low

@@ -57,8 +57,25 @@ def asof_join(
     with several right rows at the SAME instant, which one wins is an
     arbitrary (stable-sort) tie; pre-aggregate to one state per
     (key, time) for deterministic output (asof_join_events does).
+
+    With ``by=None`` there is no partition key: the single global
+    window funnels every row through ONE partition (a deliberate,
+    documented cost — fine for a small reference table, wrong for a
+    large one; give it a key or pre-bucket by time range).
     """
     keys: List[str] = [by] if isinstance(by, str) else list(by or [])
+    if on in keys:
+        raise ValueError(
+            f"asof_join: on={on!r} cannot also be a 'by' key — the "
+            "match time would be constant within every group"
+        )
+    reserved = {"__t", "__tag", "__l", "__r", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns {sorted(clash)} collide with "
+            "reserved working names — rename them first"
+        )
     lcols = left.columns
     rpayload = [c for c in right.columns if c not in keys]
 

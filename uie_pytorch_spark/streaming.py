@@ -236,8 +236,17 @@ def stream_extract_dedup(
         triples = UIEEngine.triples(engine.extract(docs))
         # carry the winning url's event time onto its triples (tiny
         # per-batch dim, broadcast) so downstream consumers — e.g.
-        # stream_triples_rollup — can do WATERMARKED event-time work
-        ts = batch_df.select(F.xxhash64("url").alias("doc_id"), "warc_ts")
+        # stream_triples_rollup — can do WATERMARKED event-time work.
+        # One row per doc_id: a micro-batch can contain two
+        # distinct-content pages with the SAME url (a recrawl whose
+        # content changed — first-seen dedup keys on CONTENT, so both
+        # survive), and a plain join would then duplicate every triple
+        # of that doc_id; keep the earliest event time.
+        ts = (
+            batch_df.select(F.xxhash64("url").alias("doc_id"), "warc_ts")
+            .groupBy("doc_id")
+            .agg(F.min("warc_ts").alias("warc_ts"))
+        )
         triples = triples.join(F.broadcast(ts), "doc_id")
         _write_epoch(triples, output_path, epoch_id)
         engine.unpersist()
