@@ -591,33 +591,71 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return D.jaccard_pairs(docs, threshold=0.5)
 
 
-@query(
-    "dedup_near_canonical",
-    f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+def _near_dup_sql(docs_cte: str, cap: int) -> str:
+    """DuckDB oracle for operators.dedup.near_dup_canonical over the
+    given docs CTE, modeling the FULL shipped pipeline — including the
+    exact pre-collapse to content reps (null-text docs keyed to
+    themselves) and the band-bucket size cap (buckets with more than
+    ``cap`` reps are dropped from candidate generation), so the gate
+    covers the production default, not an uncapped variant of it."""
+    return f"""
+    WITH RECURSIVE docs AS ({docs_cte}),
+    ckey AS (
+      SELECT doc_id, text,
+             coalesce(md5(text), 'null-' || CAST(doc_id AS VARCHAR))
+               AS content_hash
+      FROM docs
+    ),
+    groups AS (
+      SELECT content_hash, min(doc_id) AS rep_id
+      FROM ckey GROUP BY content_hash
+    ),
+    reps AS (
+      SELECT g.rep_id AS doc_id, c.text
+      FROM groups g JOIN ckey c ON c.doc_id = g.rep_id
+    ),
+    msh AS (
+      SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
+      FROM reps d,
+           LATERAL (SELECT unnest(generate_series(1,
+                      greatest(length(d.text) - 4, 1))) AS i) gs
+    ),
+    mh32 AS (
+      SELECT doc_id, ({h60_sql("shingle")} & 4294967295) AS h32 FROM msh
+    ),
+    mperm(perm, a, b) AS (VALUES {_MINHASH_PERMS_VALUES}),
+    sig AS (
+      SELECT doc_id, CAST(p.perm AS INT) AS perm,
+             CAST(min((p.a * h32 + p.b) % {MINHASH_PRIME}) AS BIGINT)
+               AS minhash
+      FROM mh32, mperm p GROUP BY doc_id, p.perm
+    ),
     banded AS (
       SELECT doc_id, CAST(perm // 3 AS INT) AS band,
              md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
       FROM sig GROUP BY doc_id, CAST(perm // 3 AS INT)
     ),
+    ok_buckets AS (
+      SELECT band, band_hash FROM banded
+      GROUP BY band, band_hash HAVING count(*) <= {cap}
+    ),
+    banded_ok AS (
+      SELECT b.doc_id, b.band, b.band_hash
+      FROM banded b JOIN ok_buckets o
+        ON b.band = o.band AND b.band_hash = o.band_hash
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM banded_ok a JOIN banded_ok b
         ON a.band = b.band AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
     ),
-    sh AS (
-      SELECT DISTINCT d.doc_id, substr(d.text, gs.i, 5) AS shingle
-      FROM documents d,
-           LATERAL (SELECT unnest(generate_series(1,
-                      greatest(length(d.text) - 4, 1))) AS i) gs
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM msh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS inter
       FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      JOIN msh a ON a.doc_id = c.doc_a
+      JOIN msh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY c.doc_a, c.doc_b
     ),
     edges AS (
@@ -631,21 +669,76 @@ def ngram_jaccard_pairs(spark, sf_dir):
       UNION ALL SELECT dst AS src, src AS dst FROM edges
     ),
     cc(id, comp) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT rep_id, rep_id FROM groups
       UNION
       SELECT sym.dst, cc.comp FROM cc JOIN sym ON cc.id = sym.src
+    ),
+    rep_canon AS (
+      SELECT id AS rep_id, min(comp) AS canonical FROM cc GROUP BY id
     )
-    SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS canonical_doc_id
-    FROM cc GROUP BY id
-    """,
+    SELECT k.doc_id, CAST(r.canonical AS BIGINT) AS canonical_doc_id
+    FROM ckey k
+    JOIN groups g ON k.content_hash = g.content_hash
+    JOIN rep_canon r ON g.rep_id = r.rep_id
+    """
+
+
+@query(
+    "dedup_near_canonical",
+    _near_dup_sql("SELECT doc_id, text FROM documents", D.DEFAULT_MAX_BUCKET_SIZE),
 )
 def dedup_near_canonical(spark, sf_dir):
-    """End-to-end near-dup canonicalization: MinHash -> LSH -> Jaccard
+    """End-to-end near-dup canonicalization: exact pre-collapse ->
+    MinHash -> LSH (capped buckets, the shipped default) -> Jaccard
     verify (candidates only) -> connected components -> canonical doc
-    id. The DuckDB oracle recomputes the SAME pipeline with the CC as
-    a recursive label-propagation CTE — the transitive closure is
+    id. The DuckDB oracle recomputes the SAME pipeline — including the
+    default band-bucket cap and the rep-level pre-collapse — with the
+    CC as a recursive label-propagation CTE; the transitive closure is
     live-SQL-checked, not frozen."""
     return D.near_dup_canonical(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# a 13-member near-identical (but not exact) family: the fixture's
+# doc 0 plus 12 tail-perturbed variants — big enough to overflow the
+# small explicit cap below, so the capped code path (bucket drop ->
+# lost candidates -> self-mapping) is exercised by the gate instead of
+# sitting untriggered under the 512 default on a 500-doc fixture.
+_CAPPED_DOCS_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT CAST(100000 + gs.i AS BIGINT) AS doc_id,
+           d.text || ' variant ' || CAST(gs.i AS VARCHAR) AS text
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(1, 12)) AS i) gs
+    WHERE d.doc_id = 0
+"""
+
+
+@query("dedup_near_canonical_capped", _near_dup_sql(_CAPPED_DOCS_SQL, 8))
+def dedup_near_canonical_capped(spark, sf_dir):
+    """near_dup_canonical with a DELIBERATELY small bucket cap (8) on
+    a corpus built to overflow it: a 13-strong near-identical family
+    lands whole in shared band buckets, the cap drops those buckets,
+    and the family's pairwise linkage is (by design) lost — the
+    production backstop for boilerplate families, verified end-to-end
+    against an oracle that models the cap identically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 60)
+    variants = (
+        d.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("i"), "text"
+        )
+        .select(
+            (F.col("i") + 100000).cast("long").alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" variant "), F.col("i").cast("string")
+            ).alias("text"),
+        )
+    )
+    return D.near_dup_canonical(
+        base.unionByName(variants), threshold=0.5, max_bucket_size=8
+    )
 
 
 @query(
