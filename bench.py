@@ -13,19 +13,22 @@ The scaling block evidences the north rule's N->4N criterion
 in-sandbox: the SAME flagship job at N vs 4N cores on the same input,
 efficiency = (T_N / T_4N) / 4, measured under the ENGINE-DEFAULT
 config. Pairs recorded (see the comment at the scaling loop):
-2:8 default (primary), 8:32 default (single-box capped, recorded so
-the headline is not pair-shopped), 2:8 with the round-2 broadcast
-hint (comparability).
+2:8 default (primary), 8:32 default (single-box capped, ALWAYS
+recorded via a budget reserve so the headline is not pair-shopped).
 
-Weather robustness (round 4): this VM suffers hypervisor-steal bursts
-that moved whole recorded rounds ±20-80%. Every sample now records
+Weather robustness (rounds 4-5): this VM suffers hypervisor-steal
+bursts that moved whole recorded rounds ±20-80%. Every sample records
 its window's steal/busy %% from /proc/stat; the per-side point
-estimate is the min over the QUIETEST steal tier with data, windows
-are interleaved and preceded by a 1-s burst check, a side whose every
-window was contended gets a cheap single-side resample, and the
-primary replicate factor is 5 (was 3) so model compute dominates the
-fixed driver/scheduler seconds — measured 0.88 efficiency at 2->8
-under mild contention, vs 0.79-0.82 at rep=3.
+estimate is the min over the QUIETEST steal tier with data. Round 5
+made the repair loop ADAPTIVE: each sample is gated on a quiet 1-s
+steal probe (waiting out a burst is ~100x cheaper than measuring
+through it), and after one back-to-back window the pair keeps
+resampling whichever SIDE has the weakest quiet-tier evidence until
+both sides hold two <=5%-steal samples or the budget line — so a side
+whose every window was contended (the round-3/4 recorded-artifact
+failure) now consumes the whole remaining pair budget retrying, not
+one top-up shot. The primary replicate factor stays 5 so model
+compute dominates the fixed driver/scheduler seconds.
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the extra sessions.
 """
@@ -207,14 +210,88 @@ def _scaling_sample(
     )
 
 
-def _wait_out_burst(max_wait: float = 30.0) -> None:
-    """Cheap pre-window guard: sample steal for 1 s; if a burst is in
-    progress (>10%% of busy), sleep up to ``max_wait`` s for it to
-    pass before spending a multi-minute measurement window on it."""
-    j0 = _cpu_jiffies()
-    time.sleep(1.0)
-    if _steal_busy_pct(j0, _cpu_jiffies()) > 10.0:
-        time.sleep(max_wait)
+def _wait_for_quiet(
+    deadline: float, thresh: float = 6.0, max_wait: float = 90.0
+) -> None:
+    """Pre-sample guard: probe steal in 1-s windows and WAIT (up to
+    ``max_wait`` s, never past ``deadline``) until a probe reads quiet
+    before starting a multi-minute measurement. Waiting a minute is
+    far cheaper than burning a 150-s sample window on a steal burst —
+    the round-3/round-4 failure mode was exactly recorded samples that
+    all landed inside bursts."""
+    t_end = min(time.monotonic() + max_wait, deadline)
+    while True:
+        j0 = _cpu_jiffies()
+        time.sleep(1.0)
+        if _steal_busy_pct(j0, _cpu_jiffies()) <= thresh:
+            return
+        if time.monotonic() + 5.0 >= t_end:
+            return
+        time.sleep(4.0)
+
+
+def _run_pair(
+    small: int,
+    big: int,
+    bcast: bool,
+    rep: int,
+    deadline: float,
+    min_quiet: int = 2,
+    max_per_side: int = 6,
+):
+    """Sample one N->4N pair adaptively: first both sides back-to-back
+    (one weather window -> the ratio is honest even if everything after
+    is budget-starved), then keep resampling WHICHEVER side has the
+    weakest quiet-tier evidence until both hold >= ``min_quiet``
+    samples at <=5% steal/busy, the per-side cap is hit, or the budget
+    line is crossed. This replaces the fixed window count + single-shot
+    top-up: a side whose every sample was contended now gets ALL the
+    remaining pair budget instead of one retry."""
+    samples = {small: [], big: []}   # [(t, steal_pct), ...]
+    triples: dict = {}
+    cost = {small: None, big: None}  # measured wall cost of one sample
+
+    def n_quiet(c: int) -> int:
+        return len([1 for _, s in samples[c] if s <= _CLEAN_TIERS[0]])
+
+    def take(c: int) -> bool:
+        _wait_for_quiet(deadline)
+        big_side = c == big
+        t0 = time.monotonic()
+        try:
+            t, n, steal = _scaling_sample(
+                c, rep,
+                inner=2 if big_side else 1,
+                warm_rep=1 if big_side else 0,
+                bcast=bcast,
+            )
+        except Exception:
+            return False  # a failed sample must not kill the bench
+        cost[c] = time.monotonic() - t0
+        samples[c].append((round(t, 3), steal))
+        triples[c] = n
+        return True
+
+    for c in (small, big):
+        take(c)
+    while True:
+        needy = [
+            c for c in (small, big)
+            if samples[c]
+            and n_quiet(c) < min_quiet
+            and len(samples[c]) < max_per_side
+        ]
+        if not needy:
+            break
+        # fewest quiet samples first; tie -> the small side (1 timed
+        # run per sample vs the big side's warm-up + min-of-2, so it
+        # dominates the ratio's variance)
+        c = sorted(needy, key=lambda x: (n_quiet(x), x != small))[0]
+        if time.monotonic() > deadline - (cost[c] or 150.0):
+            break
+        if not take(c):
+            break
+    return samples, triples
 
 
 def main():
@@ -306,126 +383,56 @@ def main():
         # 100 TB scale the fixed costs amortize the same way.
         # Pair specs "small:big[:bcast]", primary first:
         #   2:8        default config — the clean N->4N reading (python
-        #              workers own their cores);
+        #              workers own their cores); gets the bulk of the
+        #              budget and adaptive contended-side resampling.
         #   8:32       default config — single-box capped: the local-
         #              mode JVM (scheduling, Arrow encode, shuffle)
         #              shares the SAME 32 cores with the 32 compute-
         #              bound python workers, so the measured speedup
         #              understates a real cluster, where executors add
         #              NODES (the kernel alone scales at ~0.82 to 32
-        #              independent processes; BENCH.md); recorded so
-        #              the headline number is not pair-shopped.
-        #   2:8:bcast  broadcast join-back hint — round-2's tuned
-        #              configuration, kept for comparability.
-        # Later pairs are SKIPPED once the wall budget is spent; the
-        # primary pair always runs.
+        #              independent processes; BENCH.md); ALWAYS
+        #              recorded — a budget reserve is carved out for it
+        #              and its replicate factor shrinks to whatever the
+        #              leftover budget affords (round 4 lost this pair
+        #              entirely to a contended primary window).
+        # The broadcast-hint comparability pair (2:8:bcast, round-2's
+        # tuned config) left the default list to fund the above; pass
+        # SPARK_GRAFT_SCALING_PAIRS to re-add it.
         pairs = []
         for p in os.environ.get(
-            "SPARK_GRAFT_SCALING_PAIRS", "2:8,8:32,2:8:bcast"
+            "SPARK_GRAFT_SCALING_PAIRS", "2:8,8:32"
         ).split(","):
             parts = p.split(":")
             pairs.append((int(parts[0]), int(parts[1]),
                           len(parts) > 2 and parts[2] == "bcast"))
         out["scaling"] = {}
         rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "5"))
-        max_windows = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "5"))
+        max_per_side = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "6"))
+        # budget reserved so every non-primary pair still lands in the
+        # JSON: one cheap window (small rep) per remaining pair
+        reserve_each = 170.0
         for pair_idx, (small, big, bcast) in enumerate(pairs):
-            # don't START a non-primary pair without ~a window's worth
-            # of budget left — a pair begun at the deadline edge would
-            # overshoot the wall budget by its full window length
-            if out["scaling"] and time.monotonic() > deadline - 150:
-                break  # budget spent: keep the pairs we have
-            # replicate scales the corpus so model compute dominates
-            # the fixed driver/scheduler seconds (which do NOT scale
-            # and dilute measured efficiency); capped at 6, and at 4
-            # for NON-primary pairs — they are corroborating evidence,
-            # and a cheaper window leaves budget for the primary
-            # pair's quiet-sample top-ups
-            rep = min(max(1, (big * rep_mult) // 8), 6 if pair_idx == 0 else 4)
-            # INTERLEAVED windows, steal-aware min per side. This VM's
-            # throughput drifts ±20-80% over minutes (hypervisor
-            # steal / noisy neighbors) — sampling both sides within
-            # each weather window keeps the RATIO honest; per-sample
-            # steal/busy %% is recorded and the point estimate is the
-            # min over the QUIETEST tier that has data (_pick_min), so
-            # one contended window can no longer set the headline (the
-            # round-3 failure mode). The PRIMARY pair keeps sampling
-            # until both sides hold >=2 quiet-tier samples (or
-            # max_windows / the wall budget runs out); secondary pairs
-            # get one window (corroborating evidence, not the
-            # headline). Each window runs in a FRESH subprocess (own
-            # JVM) with a warm-up pass: see _scaling_sample. The big
-            # side does 2 timed runs per window (cheap; its 2nd
-            # in-session run is empirically the clean one), the small
-            # side 1 (~4x costlier, ~3x less noisy).
-            samples = {small: [], big: []}   # [(t, steal_pct), ...]
-            triples = {}
-            window_cost = 150.0  # refined to the measured 1st window
-            n_windows = max_windows if pair_idx == 0 else 1
-            for i in range(n_windows):
-                have = samples[small] and samples[big]
-                if have and time.monotonic() > deadline - (
-                    window_cost if i >= 2 else 0
-                ):
-                    break  # keep what we have; never lose the JSON line
-                quiet = all(
-                    len([t for t, s in samples[c] if s <= _CLEAN_TIERS[0]])
-                    >= 2
-                    for c in (small, big)
-                )
-                if i >= 2 and quiet:
-                    break  # enough quiet evidence on both sides
-                w0 = time.monotonic()
-                _wait_out_burst()
-                for cores in (small, big):
-                    big_side = cores == big
-                    try:
-                        t, n, steal = _scaling_sample(
-                            cores,
-                            rep,
-                            inner=2 if big_side else 1,
-                            warm_rep=1 if big_side else 0,
-                            bcast=bcast,
-                        )
-                    except Exception:
-                        continue  # a failed window must not kill the bench
-                    samples[cores].append((round(t, 3), steal))
-                    triples[cores] = n
-                window_cost = time.monotonic() - w0
-            # single-side top-up (all pairs): when a side holds fewer
-            # than TWO quiet-tier samples (run-to-run spread on this
-            # VM is ~5% even in quiet windows, so a lone quiet sample
-            # is a noisy min), resample JUST that side (half a window)
-            # while budget remains — the per-side min makes lone
-            # samples usable, and this is exactly the round-3 failure
-            # (every window of one side contended) at half the repair
-            # cost of a full window. The noisier SMALL side is topped
-            # up first (it dominates the ratio's variance).
-            for _ in range(2):
-                dirty = [
-                    c for c in (small, big)
-                    if samples[c]
-                    and len(
-                        [t for t, s in samples[c] if s <= _CLEAN_TIERS[0]]
-                    ) < 2
-                ]
-                if not dirty or time.monotonic() > deadline - (
-                    window_cost / 2
-                ):
-                    break
-                c = dirty[0]
-                _wait_out_burst()
-                try:
-                    t, n, steal = _scaling_sample(
-                        c, rep,
-                        inner=2 if c == big else 1,
-                        warm_rep=1 if c == big else 0,
-                        bcast=bcast,
-                    )
-                    samples[c].append((round(t, 3), steal))
-                    triples[c] = n
-                except Exception:
-                    break
+            remaining_pairs = len(pairs) - pair_idx - 1
+            pair_deadline = deadline - reserve_each * remaining_pairs
+            if pair_idx == 0:
+                # replicate scales the corpus so model compute dominates
+                # the fixed driver/scheduler seconds (which do NOT scale
+                # and dilute measured efficiency)
+                rep = min(max(1, (big * rep_mult) // 8), 6)
+            else:
+                # corroborating evidence: size the window to the budget
+                # actually left (rep 4 ~ 160 s, rep 2 ~ 90 s, rep 1
+                # ~ 60 s for the 8:32 pair) rather than skipping
+                left = pair_deadline - time.monotonic()
+                rep = 4 if left > 320 else (2 if left > 150 else 1)
+            if out["scaling"] and time.monotonic() > deadline - 60:
+                break  # truly out of budget: keep the pairs we have
+            samples, triples = _run_pair(
+                small, big, bcast, rep, pair_deadline,
+                min_quiet=2 if pair_idx == 0 else 1,
+                max_per_side=max_per_side if pair_idx == 0 else 3,
+            )
             if not (samples[small] and samples[big]):
                 continue
             times, tiers = {}, {}
