@@ -155,3 +155,24 @@ def test_canonicalize_mentions_near_dupes(spark):
     assert by_mention[1] == by_mention[2]
     assert by_mention[3] == by_mention[4]
     assert by_mention[5] not in (by_mention[1], by_mention[3])
+
+
+def test_entity_degrees_hand_graph(spark):
+    """Hand-computable degree profile incl. a dual-role node and a
+    self-loop: a->b, a->c (pred p), b->a (pred q), d->d (self)."""
+    from uie_pytorch_spark.kg.graph import entity_degrees
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 3), ("a", "p", "c", 2), ("b", "q", "a", 5),
+         ("d", "p", "d", 1)],
+        "subj_id: string, pred: string, obj_id: string, n_mentions: long",
+    )
+    got = {
+        r["entity_id"]: (r["out_degree"], r["in_degree"], r["n_preds"],
+                         r["strength"])
+        for r in entity_degrees(edges).collect()
+    }
+    assert got["a"] == (2, 1, 2, 10)   # out 3+2, in 5
+    assert got["b"] == (1, 1, 2, 8)    # out 5, in 3
+    assert got["c"] == (0, 1, 1, 2)
+    assert got["d"] == (1, 1, 1, 2)    # self-loop counts both ways

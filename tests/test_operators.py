@@ -709,6 +709,89 @@ def test_asof_join_semantics(spark):
     assert tol["a"] == 30 and tol["b"] == 80 and tol["d"] is None
 
 
+def test_range_join_bucketed_semantics(spark):
+    """Hand-computable interval join: containment is half-open
+    [start, end), keys separate users, intervals spanning a bucket
+    boundary still catch points in every bucket they overlap, and no
+    (point, interval) pair is ever duplicated."""
+    from uie_pytorch_spark.operators.temporal import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 999), (3, 1, 1000), (4, 1, 1500),
+         (5, 2, 100), (6, 1, 2500)],
+        "event_id: long, user_id: long, ts: long",
+    )
+    # bucket=1000: win A [50, 1200) spans buckets 0-1; win B [1400, 1600)
+    wins = spark.createDataFrame(
+        [("A", 1, 50, 1200), ("B", 1, 1400, 1600)],
+        "win_id: string, user_id: long, w_start: long, w_end: long",
+    )
+    got = sorted(
+        (r["win_id"], r["event_id"])
+        for r in range_join_bucketed(
+            points, wins, point_ts="ts", start="w_start", end="w_end",
+            by="user_id", bucket=1000,
+        ).collect()
+    )
+    # A: ts 100, 999 (bucket 0) and 1000 (bucket 1, < 1200); NOT user 2
+    # B: ts 1500 only; 2500 matches nothing; end is exclusive
+    assert got == [("A", 1), ("A", 2), ("A", 3), ("B", 4)]
+
+    clash = points.withColumn("__bin", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        range_join_bucketed(clash, wins, by="user_id")
+
+
+def test_salted_group_stats_matches_plain_groupby(spark):
+    """The salted two-phase aggregation must be EXACTLY the plain
+    groupBy (algebraic sums), at any salt width."""
+    from uie_pytorch_spark.operators.textstats import salted_group_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i) for i in range(100)],
+        "doc_id: long, source: string, n_chars: long",
+    )
+    for buckets in (1, 8):
+        got = {
+            r["source"]: (r["n_docs"], r["total_chars"], r["avg_chars"],
+                          r["corpus_share"])
+            for r in salted_group_stats(docs, salt_buckets=buckets).collect()
+        }
+        plain = {
+            r["source"]: (r["n"], r["tc"])
+            for r in docs.groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("tc"))
+            .collect()
+        }
+        assert set(got) == set(plain)
+        for s, (n, tc) in plain.items():
+            gn, gtc, avg, share = got[s]
+            assert (gn, gtc) == (n, tc)
+            assert abs(avg - tc / n) < 1e-9
+            assert abs(share - n / 100) < 1e-9
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """Every row gets exactly one split; assignment is stable across
+    partitionings; changing the seed reshuffles."""
+    from uie_pytorch_spark.operators.textstats import hash_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id: long"
+    )
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * 500 < n_train < 0.9 * 500  # ~80%
+    c = {r["doc_id"]: r["split"] for r in hash_split(docs, seed="v2").collect()}
+    assert a != c
+
+
 def test_asof_join_input_validation(spark):
     """Misuse fails loudly: a reserved working-column collision and
     on∈by both raise instead of silently corrupting the join."""

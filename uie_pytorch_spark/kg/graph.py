@@ -61,3 +61,41 @@ def surface_canonical_map(mentions_canonical: DataFrame) -> DataFrame:
             F.col("canonical_surface_id").alias("canonical_id"),
         ).distinct()
     )
+
+
+def entity_degrees(edges: DataFrame) -> DataFrame:
+    """Node-level degree/strength profile of the KG from its edge
+    table (subj_id, pred, obj_id, n_mentions, ...): per canonical
+    entity the distinct out/in neighbor counts, distinct predicate
+    count, and mention-weighted strength. The hub report driving
+    skew decisions downstream (a 10^7-degree hub node is exactly the
+    key you salt or cap before any per-entity join).
+
+    Shape: two partial aggregations (one per direction) union-merged
+    and re-aggregated — every stage map-side combinable, no window,
+    no self-join; linear in |E| at any scale.
+    """
+    out_side = edges.groupBy(F.col("subj_id").alias("entity_id")).agg(
+        F.countDistinct("obj_id").alias("out_degree"),
+        F.lit(0).cast("long").alias("in_degree"),
+        F.collect_set("pred").alias("__preds"),
+        F.sum("n_mentions").alias("strength"),
+    )
+    in_side = edges.groupBy(F.col("obj_id").alias("entity_id")).agg(
+        F.lit(0).cast("long").alias("out_degree"),
+        F.countDistinct("subj_id").alias("in_degree"),
+        F.collect_set("pred").alias("__preds"),
+        F.sum("n_mentions").alias("strength"),
+    )
+    return (
+        out_side.unionByName(in_side)
+        .groupBy("entity_id")
+        .agg(
+            F.sum("out_degree").cast("long").alias("out_degree"),
+            F.sum("in_degree").cast("long").alias("in_degree"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("__preds")))
+            ).cast("long").alias("n_preds"),
+            F.sum("strength").cast("long").alias("strength"),
+        )
+    )

@@ -174,3 +174,74 @@ def sessionize(
     return out.withColumn(
         "session_id", F.sum("session_start").over(running).cast("long")
     )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start: str = "w_start",
+    end: str = "w_end",
+    by: Union[str, Sequence[str], None] = None,
+    bucket: int = 1800,
+) -> DataFrame:
+    """Interval (range) join at scale: each point row joins every
+    interval row of the same key whose [start, end) contains its time.
+
+    Spark's native plan for ``p.ts >= i.start AND p.ts < i.end`` is a
+    broadcast-nested-loop / cartesian refine — O(|P|x|I|) per key, the
+    classic range-join blowup. The scalable shape instead buckets time
+    into fixed ``bucket``-second bins: every interval is EXPLODED onto
+    each bin it overlaps (short intervals -> 1-2 rows), every point
+    maps to exactly ONE bin, and the join becomes a plain shuffled
+    equi-join on (key, bin) + an exact containment refine. Each
+    (point, interval) pair meets in exactly one bin — the point's —
+    so no post-join dedup is needed. Cost: one shuffle each side on
+    (key, bin); works with AQE skew splitting like any equi-join.
+
+    Bin width trades replication for selectivity: ~the median interval
+    length is a good default (intervals replicate ~2x; each bin pairs
+    only co-located rows).
+    """
+    keys: List[str] = [by] if isinstance(by, str) else list(by or [])
+    reserved = {"__bin", "__t", "__s", "__e"}
+    clash = reserved & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"range_join_bucketed: input columns {sorted(clash)} collide "
+            "with reserved working names — rename them first"
+        )
+    pdtype = dict(
+        (f.name, f.dataType.simpleString()) for f in points.schema
+    )[point_ts]
+    idtype = dict(
+        (f.name, f.dataType.simpleString()) for f in intervals.schema
+    )
+    pt = _epoch_seconds(F.col(point_ts), pdtype)
+    ist = _epoch_seconds(F.col(start), idtype[start])
+    ien = _epoch_seconds(F.col(end), idtype[end])
+
+    p = points.withColumn(
+        "__t", pt
+    ).withColumn("__bin", F.floor(pt / F.lit(float(bucket))))
+    # half-open [start, end): the last covered bin is the one holding
+    # end - epsilon, i.e. floor((end - 1microsecond)/bucket) — computed
+    # as floor(start/bucket)..floor(end/bucket) then refined exactly,
+    # which over-covers by at most one empty bin per interval.
+    i = (
+        intervals.withColumn("__s", ist)
+        .withColumn("__e", ien)
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(ist / F.lit(float(bucket))),
+                    F.floor(ien / F.lit(float(bucket))),
+                )
+            ),
+        )
+    )
+    joined = p.join(i, keys + ["__bin"]).filter(
+        (F.col("__t") >= F.col("__s")) & (F.col("__t") < F.col("__e"))
+    )
+    return joined.drop("__bin", "__t", "__s", "__e")

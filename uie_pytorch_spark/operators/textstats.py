@@ -272,3 +272,92 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens",
         (F.col("_avg_ln_tf") - F.log("n")).alias("avg_logprob"),
     )
+
+
+def salted_group_stats(
+    docs: DataFrame,
+    key: str = "source",
+    salt_buckets: int = 8,
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-key corpus profile (doc count, total/avg size, share of
+    corpus) computed SKEW-SAFELY: a web corpus's domain distribution
+    is Zipfian — one hot domain can hold 30%+ of all rows, and a
+    plain groupBy(key) sends that whole key to one reduce task.
+
+    Shape: phase 1 pre-aggregates on (key, salt) where salt is a
+    deterministic per-row bucket — the hot key's rows split across
+    ``salt_buckets`` combiners; phase 2 merges the tiny per-salt
+    partials on key alone. All sums/counts are algebraic, so the
+    result is EXACTLY the unsalted groupBy's (the oracle runs the
+    plain GROUP BY); the corpus total joins back as a broadcast
+    scalar, never a join key.
+    """
+    salt = (h60(F.concat_ws("|", F.col("doc_id").cast("string")))
+            % salt_buckets)
+    partial = (
+        docs.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(size_col).alias("__sz"),
+        )
+    )
+    merged = partial.groupBy(key).agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum("__sz").cast("long").alias("total_chars"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("__total"))
+    return merged.join(F.broadcast(total)).select(
+        key,
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"),
+        (F.col("n_docs") / F.col("__total")).alias("corpus_share"),
+    )
+
+
+def length_quantiles(
+    docs: DataFrame, key: str = "source", size_col: str = "n_chars"
+) -> DataFrame:
+    """Per-key exact length quantiles (p50/p90/p99) + max — the
+    length-distribution report behind chunk-size / maxPartitionBytes
+    tuning. Uses the exact ``percentile`` aggregate (linear
+    interpolation, ANSI semantics — identical to DuckDB's
+    quantile_cont) which computes all three quantiles in ONE
+    aggregation pass; at 100 TB swap in approx_percentile with a
+    bounded error for a sketch-merge plan, same query shape."""
+    return docs.groupBy(key).agg(
+        F.percentile(F.col(size_col), F.lit(0.5)).alias("p50_chars"),
+        F.percentile(F.col(size_col), F.lit(0.9)).alias("p90_chars"),
+        F.percentile(F.col(size_col), F.lit(0.99)).alias("p99_chars"),
+        F.max(size_col).cast("long").alias("max_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash bucket: h60(id || seed) % 100 -> [0, train) train,
+    [train, train+val) val, rest test. Stable across runs, partitions
+    and cluster sizes (pure projection — zero shuffles), and
+    re-shardable by changing ``seed`` only. The standard leakage-safe
+    split for training-data pipelines (id-keyed, so near-dup variants
+    of one id always land in the same shard)."""
+    bucket = h60(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split_bucket", bucket.cast("int")).withColumn(
+        "split", split
+    )

@@ -1890,6 +1890,201 @@ def quality_features(spark, sf_dir):
 
 
 # =====================================================================
+# corpus profiling / sharding / range join (round 5)
+# =====================================================================
+
+@query(
+    "range_join_events",
+    """
+    WITH wins AS (
+      SELECT event_id AS win_id, user_id, ts AS w_start,
+             ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT w.win_id, w.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(e.value) AS DOUBLE) AS sum_value
+    FROM wins w JOIN events e
+      ON e.user_id = w.user_id
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.win_id, w.user_id
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Interval containment join at scale: every event lands in the
+    30-minute window opened by each same-user purchase. The Spark
+    plan is operators.temporal.range_join_bucketed — time-bin
+    explode + ONE equi-join shuffle + exact refine — never the
+    BroadcastNestedLoop a naive ts-between-start-and-end join plans
+    (the oracle replays the naive inequality join in DuckDB)."""
+    e = _t(spark, sf_dir, "events")
+    points = e.select("event_id", "user_id", "ts", "value")
+    wins = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    j = TEMP.range_join_bucketed(
+        points, wins, point_ts="ts", start="w_start", end="w_end",
+        by="user_id", bucket=1800,
+    )
+    return j.groupBy("win_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "kg_entity_degrees",
+    """
+    WITH tri AS (
+      SELECT p_name AS subj_text, 'made-in' AS pred, r_name AS obj_text,
+             (p_partkey % 83) / 83.0 AS obj_prob,
+             CAST(p_partkey % 50 AS BIGINT) AS doc_id
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+      UNION ALL
+      SELECT upper(p_name), 'made-in', lower(r_name),
+             (p_partkey % 83) / 83.0,
+             CAST(p_partkey % 37 AS BIGINT)
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+    ),
+    surf AS (
+      SELECT subj_text AS surface FROM tri
+      UNION SELECT obj_text FROM tri
+    ),
+    canon AS (SELECT surface, lower(trim(surface)) AS canonical_id FROM surf),
+    edges AS (
+      SELECT s.canonical_id AS subj_id, t.pred, o.canonical_id AS obj_id,
+             count(*) AS n_mentions
+      FROM tri t JOIN canon s ON t.subj_text = s.surface
+                 JOIN canon o ON t.obj_text = o.surface
+      GROUP BY s.canonical_id, t.pred, o.canonical_id
+    ),
+    dirs AS (
+      SELECT subj_id AS entity_id, obj_id AS nbr, pred, n_mentions,
+             'out' AS dir
+      FROM edges
+      UNION ALL
+      SELECT obj_id, subj_id, pred, n_mentions, 'in' FROM edges
+    )
+    SELECT entity_id,
+           CAST(count(DISTINCT CASE WHEN dir = 'out' THEN nbr END)
+             AS BIGINT) AS out_degree,
+           CAST(count(DISTINCT CASE WHEN dir = 'in' THEN nbr END)
+             AS BIGINT) AS in_degree,
+           CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+           CAST(sum(n_mentions) AS BIGINT) AS strength
+    FROM dirs GROUP BY entity_id
+    """,
+)
+def kg_entity_degrees(spark, sf_dir):
+    """Node-degree/strength profile of the KG (kg.graph.entity_degrees)
+    over the same case-variant fixture edges as kg_entity_edges — the
+    hub report that drives downstream salting/capping decisions."""
+    from .kg.graph import entity_degrees, entity_edges
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    r = _t(spark, sf_dir, "region")
+    base = p.join(r, r["r_regionkey"] == p["p_partkey"] % 5)
+    t1 = base.select(
+        F.col("p_name").alias("subj_text"),
+        F.lit("made-in").alias("pred"),
+        F.col("r_name").alias("obj_text"),
+        ((F.col("p_partkey") % 83) / F.lit(83.0)).alias("obj_prob"),
+        (F.col("p_partkey") % 50).cast("long").alias("doc_id"),
+    )
+    t2 = base.select(
+        F.upper("p_name").alias("subj_text"),
+        F.lit("made-in").alias("pred"),
+        F.lower("r_name").alias("obj_text"),
+        ((F.col("p_partkey") % 83) / F.lit(83.0)).alias("obj_prob"),
+        (F.col("p_partkey") % 37).cast("long").alias("doc_id"),
+    )
+    tri = t1.unionByName(t2)
+    surf = (
+        tri.select(F.col("subj_text").alias("surface"))
+        .unionByName(tri.select(F.col("obj_text").alias("surface")))
+        .distinct()
+    )
+    canon = surf.select(
+        "surface", F.lower(F.trim(F.col("surface"))).alias("canonical_id")
+    )
+    return entity_degrees(entity_edges(tri, canon))
+
+
+@query(
+    "domain_skew_report",
+    """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS t FROM documents)
+    SELECT source, n_docs, total_chars,
+           total_chars * 1.0 / n_docs AS avg_chars,
+           n_docs * 1.0 / (SELECT t FROM tot) AS corpus_share
+    FROM per
+    """,
+)
+def domain_skew_report(spark, sf_dir):
+    """Per-source corpus profile via the SALTED two-phase aggregation
+    (operators.textstats.salted_group_stats) — algebraically identical
+    to the plain GROUP BY the oracle runs, but a Zipfian hot domain
+    splits across 8 combiners instead of one reduce task."""
+    return TS.salted_group_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "length_quantiles",
+    """
+    SELECT source,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           quantile_cont(n_chars, 0.99) AS p99_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def length_quantiles(spark, sf_dir):
+    """Per-source exact length quantiles (Spark `percentile` and
+    DuckDB `quantile_cont` share linear-interpolation semantics) —
+    the distribution report behind chunking / partition sizing."""
+    return TS.length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "hash_split_report",
+    f"""
+    WITH s AS (
+      SELECT source,
+             {h60_sql("CAST(doc_id AS VARCHAR) || '|' || 'split-v1'")} % 100
+               AS b
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def hash_split_report(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test sharding
+    (textstats.hash_split: h60(id|seed) % 100 buckets, a pure
+    projection) summarized per (source, split)."""
+    d = TS.hash_split(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# =====================================================================
 # rows-only pipeline queries (model-backed; no SQL oracle — the exact
 # correctness gate for these is tests/test_engine_parity.py)
 # =====================================================================
