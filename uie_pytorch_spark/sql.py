@@ -23,15 +23,27 @@ Both are plain ANSI aggregations/joins/windows, so Catalyst produces
 the same physical plans it gives the DataFrame versions (broadcast
 dims, partial aggs, single window sort per spec).
 
-Coverage spans every SQL-expressible query family: aggregation, join,
-window, dedup (exact/minhash/LSH), textstats, and temporal.
+Coverage: every oracle query EXCEPT the model-backed tier
+(uie_entities / uie_nested_export / kg_canonical_entities — the
+extraction model and the iterative connected-components step are not
+SQL-expressible) and the two near-dup CC queries (same CC step:
+Spark 4's WITH RECURSIVE accepts only UNION ALL
+[UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], which cannot reach a
+fixpoint on a cyclic edge set, so DuckDB's recursive
+label-propagation CTE has no Spark SQL rendering). All
+families are covered: aggregation, join, window, dedup
+(exact/minhash/LSH/CDC/simhash/jaccard), textstats, temporal
+(asof/sessionize/range join), similarity/ANN (brute/SRP/IVF), KG
+(edges/degrees), and corpus profiling (skew/quantiles/split).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .core.textnorm import DBC_FROM, DBC_TO
 from .operators.hashing import MINHASH_COEFFS, MINHASH_PRIME
+from .queries import _CDC_FOOTER, _IVF_C, _IVF_PROBE, _SRP_PLANES, _SRP_SEED
 
 _H60 = "CAST(conv(substring(md5({0}), 1, 15), 16, 10) AS BIGINT)"
 _PERMS = ", ".join(
@@ -39,6 +51,64 @@ _PERMS = ", ".join(
 )
 # fractional epoch seconds, NTZ-safe (see operators.temporal._epoch_seconds)
 _EPOCH = "CAST(CAST({0} AS TIMESTAMP) AS DOUBLE)"
+
+
+def _lit(s: str) -> str:
+    """Spark SQL single-quoted string literal (backslash-escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# embedding flattened to (vec_id, i, xd) in exact DECIMAL(9,6) — the
+# oracle-grade dot-product layout (operators/similarity.py:28)
+_EMB_DEC = """
+          SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) AS xd
+          FROM embeddings LATERAL VIEW posexplode(embedding) g AS i, x
+"""
+# integer micro-unit layout (exact cross-engine dots, similarity.py)
+_EMB_MICRO = """
+          SELECT vec_id, i,
+                 CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+          FROM embeddings LATERAL VIEW posexplode(embedding) g AS i, x
+"""
+# content-defined-chunking segmentation over {src}: a position starts
+# a segment when the 60-bit hash of its width-5 window hits % 64 == 0
+# (operators/dedup.py cdc_segments, same rule as the DuckDB oracle)
+_CDC_SEG = f"""
+      d AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM {{src}} WHERE length(text) > 0
+      ),
+      pos AS (
+        SELECT doc_id, text, n, i FROM d
+        LATERAL VIEW explode(sequence(1, greatest(n - 4, 1))) g AS i
+      ),
+      bnd AS (
+        SELECT doc_id, text, n, i FROM pos
+        WHERE i = 1 OR {_H60.format("substring(text, i, 5)")} % 64 = 0
+      ),
+      seg AS (
+        SELECT doc_id,
+               CAST(row_number() OVER w AS INT) AS seg_idx,
+               CAST(i AS INT) AS seg_start,
+               CAST(coalesce(lead(i) OVER w, n + 1) - i AS INT) AS seg_len,
+               text
+        FROM bnd
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      ),
+      segs AS (
+        SELECT doc_id, seg_idx, seg_start, seg_len,
+               md5(substring(text, seg_start, seg_len)) AS seg_hash
+        FROM seg
+      )
+"""
+_SRP_SIGN = (
+    "CASE WHEN "
+    + _H60.format(
+        f"CAST({_SRP_SEED} AS STRING) || '#' || CAST(plane AS STRING)"
+        " || '#' || CAST(i AS STRING)"
+    )
+    + " % 2 = 0 THEN 1 ELSE -1 END"
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -484,6 +554,506 @@ SQL_QUERIES = {
                CAST(floor({_EPOCH.format("mr.ts")}) AS BIGINT) AS state_ts_sec,
                mr.state AS state
         FROM m WHERE tag = 1
+    """,
+    # ---- extraction-pipeline relational stages -------------------------
+    "chunk_explode_offsets": """
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i * 100 + 1 AS INT), 100) AS chunk_text,
+               CAST(i * 100 AS BIGINT) AS chunk_off
+        FROM documents
+        LATERAL VIEW explode(sequence(0,
+          CAST(CASE WHEN length(text) <= 100 THEN 0
+               ELSE ceil(length(text) / 100.0d) - 1 END AS BIGINT))) g AS i
+    """,
+    "chunk_merge_roundtrip": """
+        WITH chunks AS (
+          SELECT doc_id, text, CAST(i AS BIGINT) AS idx,
+                 substring(text, CAST(i * 120 + 1 AS INT), 120) AS chunk
+          FROM documents
+          LATERAL VIEW explode(sequence(0,
+            CAST(CASE WHEN length(text) <= 120 THEN 0
+                 ELSE ceil(length(text) / 120.0d) - 1 END AS BIGINT))) g AS i
+        )
+        SELECT doc_id,
+               (listagg(chunk, '') WITHIN GROUP (ORDER BY idx)
+                 = min(text)) AS roundtrip_ok,
+               CAST(count(*) AS BIGINT) AS n_chunks
+        FROM chunks GROUP BY doc_id
+    """,
+    "dbc2sbc_normalize": f"""
+        SELECT doc_id,
+               translate(substring(text, 1, 40) || '：ＡＢ！１２３',
+                         {_lit(DBC_FROM)}, {_lit(DBC_TO)}) AS normalized
+        FROM documents
+    """,
+    "seeded_negative_sample": f"""
+        WITH universe AS (
+          SELECT c.c_custkey, p.o_orderpriority
+          FROM customer c
+          CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        ), positives AS (
+          SELECT DISTINCT o_custkey AS c_custkey, o_orderpriority
+          FROM orders
+        ), anti AS (
+          SELECT u.c_custkey, u.o_orderpriority
+          FROM universe u LEFT ANTI JOIN positives p
+            ON u.c_custkey = p.c_custkey
+           AND u.o_orderpriority = p.o_orderpriority
+        ), negs AS (
+          SELECT c_custkey, o_orderpriority,
+                 row_number() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY {_H60.format(
+                       "CAST(c_custkey AS STRING) || '|' || o_orderpriority"
+                   )}
+                 ) AS rn
+          FROM anti
+        )
+        SELECT c_custkey, o_orderpriority FROM negs WHERE rn <= 2
+    """,
+    "relation_class_report": """
+        WITH tri AS (
+          SELECT translate(p_type, ' ', '的') || '的' || r_name AS pred,
+                 p_name AS subj_text,
+                 (p_partkey % 97) / 97.0d AS obj_prob
+          FROM part CROSS JOIN region WHERE p_size > 45
+          UNION ALL
+          SELECT p_brand AS pred, p_name AS subj_text,
+                 (p_partkey % 89) / 89.0d AS obj_prob
+          FROM part WHERE p_size > 45
+        )
+        SELECT coalesce(nullif(regexp_extract(pred, '的([^的]+)$', 1), ''),
+                        pred) AS relation_class,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT subj_text) AS BIGINT) AS n_subjects,
+               CAST(avg(obj_prob) AS DOUBLE) AS mean_obj_prob
+        FROM tri GROUP BY 1
+    """,
+    # ---- dedup family (continued) --------------------------------------
+    "ngram_jaccard_pairs": """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' mirrored with tail'
+            AS text
+          FROM documents WHERE doc_id < 40
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+          FROM docs
+          LATERAL VIEW explode(
+            sequence(1, greatest(length(text) - 4, 1))) g AS i
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+               CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+               inter * 1.0d / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                   JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE inter * 1.0d / (sa.sz + sb.sz - inter) >= 0.5d
+    """,
+    "simhash_fingerprint": f"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 120),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id,
+                       explode(regexp_extract_all(text, '[\\\\S]+', 0)) AS tok
+                FROM docs)
+          GROUP BY doc_id, tok
+        ),
+        bits AS (
+          SELECT doc_id, bit,
+                 sum(tf * (CASE WHEN (shiftright({_H60.format("tok")},
+                                        CAST(bit AS INT)) & 1) = 1
+                           THEN 1 ELSE -1 END)) AS s
+          FROM tf LATERAL VIEW explode(sequence(0, 59)) g AS bit
+          GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0
+                        THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
+                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "cdc_segments": f"""
+        WITH {_CDC_SEG.format(src="documents")}
+        SELECT doc_id, seg_idx, seg_start, seg_len, seg_hash FROM segs
+    """,
+    "cdc_shared_boilerplate": f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 4 = 0
+                              THEN ' {_CDC_FOOTER}' ELSE '' END AS text
+          FROM documents
+        ),
+        {_CDC_SEG.format(src="seeded")}
+        SELECT seg_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(seg_len) AS INT) AS seg_len
+        FROM segs WHERE seg_len >= 20
+        GROUP BY seg_hash HAVING count(DISTINCT doc_id) > 1
+    """,
+    # ---- textstats family (continued) ----------------------------------
+    "corpus_filter_pipeline": """
+        WITH feats AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN 'other'
+                      WHEN (length(text)
+                            - length(regexp_replace(text, '[一-鿿]', '')))
+                           * 1.0d / length(text) > 0.3d THEN 'zh'
+                      WHEN (length(text)
+                            - length(regexp_replace(text, '[A-Za-z]', '')))
+                           * 1.0d / length(text) > 0.3d THEN 'en'
+                      ELSE 'other' END AS pred_lang,
+                 CAST(size(regexp_extract_all(text, '[\\\\S]+', 0)) AS INT)
+                   AS ws_tokens,
+                 CAST(size(regexp_extract_all(text,
+                      ' ?[A-Za-z]+| ?[0-9]+|[一-鿿]| ?[^\\\\sA-Za-z0-9一-鿿]+',
+                      0)) AS INT) AS bpe_tokens,
+                 (length(text) - length(regexp_replace(text,
+                    '[\\\\.,;:!\\\\?。！？，；：]', '')))
+                   * 1.0d / greatest(length(text), 1) AS punct_ratio,
+                 md5(text) AS content_hash
+          FROM documents
+        ),
+        canon AS (
+          SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id
+          FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        )
+        SELECT f.doc_id, f.pred_lang, f.ws_tokens, f.bpe_tokens,
+               f.punct_ratio,
+               (c.canonical_doc_id IS NOT NULL
+                AND f.doc_id <> c.canonical_doc_id) AS is_dup,
+               (f.pred_lang IN ('zh', 'en') AND f.ws_tokens >= 2
+                AND f.bpe_tokens >= 4
+                AND f.punct_ratio < 0.2d
+                AND NOT (c.canonical_doc_id IS NOT NULL
+                         AND f.doc_id <> c.canonical_doc_id)) AS keep
+        FROM feats f LEFT JOIN canon c ON f.content_hash = c.content_hash
+    """,
+    "canonicalize_surface_forms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(tok)), '[^a-z0-9一-鿿]', '')
+                   AS surface
+          FROM (SELECT doc_id,
+                       explode(regexp_extract_all(text, '[\\\\S]+', 0)) AS tok
+                FROM documents)
+        )
+        SELECT surface, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_mentions
+        FROM toks WHERE surface <> '' GROUP BY surface
+    """,
+    # ---- KG family ------------------------------------------------------
+    "kg_entity_edges": """
+        WITH tri AS (
+          SELECT p_name AS subj_text, 'made-in' AS pred,
+                 r_name AS obj_text,
+                 (p_partkey % 83) / 83.0d AS obj_prob,
+                 CAST(p_partkey % 50 AS BIGINT) AS doc_id
+          FROM part JOIN region ON r_regionkey = p_partkey % 5
+          WHERE p_size > 47
+          UNION ALL
+          SELECT upper(p_name), 'made-in', lower(r_name),
+                 (p_partkey % 83) / 83.0d,
+                 CAST(p_partkey % 37 AS BIGINT)
+          FROM part JOIN region ON r_regionkey = p_partkey % 5
+          WHERE p_size > 47
+        ),
+        surf AS (
+          SELECT subj_text AS surface FROM tri
+          UNION SELECT obj_text FROM tri
+        ),
+        canon AS (
+          SELECT surface, lower(trim(surface)) AS canonical_id FROM surf
+        )
+        SELECT s.canonical_id AS subj_id, t.pred, o.canonical_id AS obj_id,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               CAST(avg(t.obj_prob) AS DOUBLE) AS mean_obj_prob
+        FROM tri t JOIN canon s ON t.subj_text = s.surface
+                   JOIN canon o ON t.obj_text = o.surface
+        GROUP BY s.canonical_id, t.pred, o.canonical_id
+    """,
+    # ---- similarity / ANN family ---------------------------------------
+    "embedding_near_dup": f"""
+        WITH emb_dup AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id < 10
+        ),
+        flat AS (
+          SELECT vec_id, i, CAST(x AS DECIMAL(9,6)) AS xd
+          FROM emb_dup LATERAL VIEW posexplode(embedding) g AS i, x
+        ),
+        norms AS (
+          SELECT vec_id, sum(xd * xd) AS norm2 FROM flat GROUP BY vec_id
+        ),
+        dots AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 sum(a.xd * b.xd) AS dot
+          FROM flat a JOIN flat b
+            ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT vec_a, vec_b
+        FROM dots JOIN norms na ON dots.vec_a = na.vec_id
+                  JOIN norms nb ON dots.vec_b = nb.vec_id
+        WHERE CAST(dot AS DOUBLE)
+              / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))
+              >= 0.9d
+    """,
+    "ann_topk_dot": f"""
+        WITH flat AS ({_EMB_DEC}),
+        q AS (
+          SELECT vec_id AS query_id, i, xd AS qx FROM flat WHERE vec_id < 5
+        ),
+        dots AS (
+          SELECT q.query_id, f.vec_id AS neighbor_id,
+                 CAST(sum(q.qx * f.xd) AS DOUBLE) AS dot
+          FROM q JOIN flat f ON q.i = f.i
+          WHERE f.vec_id <> q.query_id
+          GROUP BY q.query_id, f.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id)
+                       AS rnk
+              FROM dots)
+        WHERE rnk <= 3
+    """,
+    "ann_srp_topk": f"""
+        WITH flat AS ({_EMB_MICRO}),
+        signs AS (
+          SELECT plane, i, {_SRP_SIGN} AS sign
+          FROM (SELECT explode(sequence(0, {_SRP_PLANES - 1})) AS plane)
+          CROSS JOIN (SELECT explode(sequence(0, 63)) AS i)
+        ),
+        proj AS (
+          SELECT f.vec_id, s.plane, sum(f.xi * s.sign) AS proj
+          FROM flat f JOIN signs s ON f.i = s.i
+          GROUP BY f.vec_id, s.plane
+        ),
+        buckets AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN proj > 0
+                          THEN shiftleft(CAST(1 AS BIGINT),
+                                         CAST(plane AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+          FROM proj GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM buckets q
+          JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 5
+        ),
+        dots AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CAST(sum(qf.xi * cf.xi) AS DOUBLE) / 1e12 AS dot
+          FROM cand
+          JOIN flat qf ON qf.vec_id = cand.query_id
+          JOIN flat cf ON cf.vec_id = cand.neighbor_id AND cf.i = qf.i
+          GROUP BY cand.query_id, cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
+        FROM (SELECT query_id, neighbor_id, dot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id)
+                       AS rnk
+              FROM dots)
+        WHERE rnk <= 3
+    """,
+    "ann_ivf_topk": f"""
+        WITH flat AS ({_EMB_MICRO}),
+        cflat AS (
+          SELECT vec_id AS cent_id, i, xi AS ci
+          FROM flat WHERE vec_id < {_IVF_C}
+        ),
+        cdots AS (
+          SELECT f.vec_id, c.cent_id, sum(f.xi * c.ci) AS cdot
+          FROM flat f JOIN cflat c ON f.i = c.i
+          GROUP BY f.vec_id, c.cent_id
+        ),
+        ranked AS (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cdot DESC, cent_id) AS crank
+          FROM cdots
+        ),
+        assign AS (SELECT vec_id, cent_id FROM ranked WHERE crank = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id
+          FROM ranked WHERE crank <= {_IVF_PROBE} AND vec_id < 5
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        dots AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CAST(sum(qf.xi * nf.xi) AS DOUBLE) / 1e12 AS dot
+          FROM cand
+          JOIN flat qf ON qf.vec_id = cand.query_id
+          JOIN flat nf ON nf.vec_id = cand.neighbor_id AND nf.i = qf.i
+          GROUP BY cand.query_id, cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
+        FROM (SELECT query_id, neighbor_id, dot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id)
+                       AS rnk
+              FROM dots)
+        WHERE rnk <= 3
+    """,
+    # ---- corpus profiling / sharding / range join ----------------------
+    "range_join_events": """
+        WITH wins AS (
+          SELECT event_id AS win_id, user_id, ts AS w_start,
+                 ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT w.win_id, w.user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(e.value) AS DOUBLE) AS sum_value
+        FROM wins w JOIN events e
+          ON e.user_id = w.user_id
+         AND e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w.win_id, w.user_id
+    """,
+    "kg_entity_degrees": """
+        WITH tri AS (
+          SELECT p_name AS subj_text, 'made-in' AS pred,
+                 r_name AS obj_text,
+                 CAST(p_partkey % 50 AS BIGINT) AS doc_id
+          FROM part JOIN region ON r_regionkey = p_partkey % 5
+          WHERE p_size > 47
+          UNION ALL
+          SELECT upper(p_name), 'made-in', lower(r_name),
+                 CAST(p_partkey % 37 AS BIGINT)
+          FROM part JOIN region ON r_regionkey = p_partkey % 5
+          WHERE p_size > 47
+        ),
+        surf AS (
+          SELECT subj_text AS surface FROM tri
+          UNION SELECT obj_text FROM tri
+        ),
+        canon AS (
+          SELECT surface, lower(trim(surface)) AS canonical_id FROM surf
+        ),
+        edges AS (
+          SELECT s.canonical_id AS subj_id, t.pred, o.canonical_id AS obj_id,
+                 count(*) AS n_mentions
+          FROM tri t JOIN canon s ON t.subj_text = s.surface
+                     JOIN canon o ON t.obj_text = o.surface
+          GROUP BY s.canonical_id, t.pred, o.canonical_id
+        ),
+        dirs AS (
+          SELECT subj_id AS entity_id, obj_id AS nbr, pred, n_mentions,
+                 'out' AS dir
+          FROM edges
+          UNION ALL
+          SELECT obj_id, subj_id, pred, n_mentions, 'in' FROM edges
+        )
+        SELECT entity_id,
+               CAST(count(DISTINCT CASE WHEN dir = 'out' THEN nbr END)
+                 AS BIGINT) AS out_degree,
+               CAST(count(DISTINCT CASE WHEN dir = 'in' THEN nbr END)
+                 AS BIGINT) AS in_degree,
+               CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+               CAST(sum(n_mentions) AS BIGINT) AS strength
+        FROM dirs GROUP BY entity_id
+    """,
+    "domain_skew_report": """
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT count(*) AS t FROM documents)
+        SELECT source, n_docs, total_chars,
+               total_chars * 1.0d / n_docs AS avg_chars,
+               n_docs * 1.0d / (SELECT t FROM tot) AS corpus_share
+        FROM per
+    """,
+    "length_quantiles": """
+        SELECT source,
+               percentile(n_chars, 0.5d) AS p50_chars,
+               percentile(n_chars, 0.9d) AS p90_chars,
+               percentile(n_chars, 0.99d) AS p99_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "hash_split_report": f"""
+        WITH s AS (
+          SELECT source,
+                 {_H60.format(
+                     "CAST(doc_id AS STRING) || '|' || 'split-v1'"
+                 )} % 100 AS b
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY 1, 2
+    """,
+    "ann_ivf_l2_topk": f"""
+        WITH flat AS ({_EMB_MICRO}),
+        cflat AS (
+          SELECT vec_id AS cent_id, i, xi AS ci
+          FROM flat WHERE vec_id < {_IVF_C}
+        ),
+        cdots AS (
+          SELECT f.vec_id, c.cent_id, sum(f.xi * c.ci) AS cdot,
+                 sum(c.ci * c.ci) AS cnorm2
+          FROM flat f JOIN cflat c ON f.i = c.i
+          GROUP BY f.vec_id, c.cent_id
+        ),
+        ranked AS (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY 2 * cdot - cnorm2 DESC, cent_id)
+                   AS crank
+          FROM cdots
+        ),
+        assign AS (SELECT vec_id, cent_id FROM ranked WHERE crank = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id
+          FROM ranked WHERE crank <= {_IVF_PROBE} AND vec_id < 5
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        dots AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CAST(sum(qf.xi * nf.xi) AS DOUBLE) / 1e12 AS dot
+          FROM cand
+          JOIN flat qf ON qf.vec_id = cand.query_id
+          JOIN flat nf ON nf.vec_id = cand.neighbor_id AND nf.i = qf.i
+          GROUP BY cand.query_id, cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rank
+        FROM (SELECT query_id, neighbor_id, dot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id)
+                       AS rnk
+              FROM dots)
+        WHERE rnk <= 3
     """,
 }
 
