@@ -13,22 +13,28 @@ The scaling block evidences the north rule's N->4N criterion
 in-sandbox: the SAME flagship job at N vs 4N cores on the same input,
 efficiency = (T_N / T_4N) / 4, measured under the ENGINE-DEFAULT
 config. Pairs recorded (see the comment at the scaling loop):
-2:8 default (primary), 8:32 default (single-box capped, ALWAYS
-recorded via a budget reserve so the headline is not pair-shopped).
+2:8 default (primary), 4:16 (same criterion, half-length windows —
+fits lulls a 155-s local2 sample cannot), 8:32 (single-box capped);
+the latter two ALWAYS recorded via budget reserves so the headline is
+not pair-shopped.
 
 Weather robustness (rounds 4-5): this VM suffers hypervisor-steal
 bursts that moved whole recorded rounds ±20-80%. Every sample records
 its window's steal/busy %% from /proc/stat; the per-side point
 estimate is the min over the QUIETEST steal tier with data. Round 5
-made the repair loop ADAPTIVE: each sample is gated on a quiet 1-s
-steal probe (waiting out a burst is ~100x cheaper than measuring
-through it), and after one back-to-back window the pair keeps
-resampling whichever SIDE has the weakest quiet-tier evidence until
-both sides hold two <=5%-steal samples or the budget line — so a side
-whose every window was contended (the round-3/4 recorded-artifact
-failure) now consumes the whole remaining pair budget retrying, not
-one top-up shot. The primary replicate factor stays 5 so model
-compute dominates the fixed driver/scheduler seconds.
+made the repair loop ADAPTIVE and quiet-gated: after one mandatory
+back-to-back window (the JSON always carries a ratio), every further
+resample first PROBES for a lull — 1-s steal reads, sleeping through
+bursts up to the budget line — and only measures inside one; a
+knowingly-contended extra sample is never taken (a storm sample adds
+nothing the first window didn't already record, while every second
+spent probing is a chance to catch the lull that flips the tier to
+quiet). Sides are picked by weakest quiet-tier evidence until both
+hold two <=5%-steal samples. Each pair also records a steal-MATCHED
+auxiliary ratio (both sides at the closest steal levels) since
+cross-weather mins bias the headline ratio. The primary replicate
+factor stays 5 so model compute dominates the fixed driver/scheduler
+seconds.
 
 Set SPARK_GRAFT_SKIP_SCALING=1 to skip the extra sessions.
 """
@@ -212,21 +218,25 @@ def _scaling_sample(
 
 def _wait_for_quiet(
     deadline: float, thresh: float = 6.0, max_wait: float = 90.0
-) -> None:
+) -> bool:
     """Pre-sample guard: probe steal in 1-s windows and WAIT (up to
-    ``max_wait`` s, never past ``deadline``) until a probe reads quiet
-    before starting a multi-minute measurement. Waiting a minute is
-    far cheaper than burning a 150-s sample window on a steal burst —
-    the round-3/round-4 failure mode was exactly recorded samples that
-    all landed inside bursts."""
+    ``max_wait`` s, never past ``deadline``) until a probe reads
+    quiet before starting a multi-minute measurement. Waiting is
+    nearly free — a sample taken inside a burst is worthless for the
+    quiet tier, so on a stormy box the remaining budget is better
+    spent PROBING for the next lull than measuring through the storm
+    (the round-3/4/5 recorded-artifact failure was exactly samples
+    that all landed inside multi-minute bursts while the 90-s wait
+    cap forced measurement anyway). Returns whether the last probe
+    read quiet."""
     t_end = min(time.monotonic() + max_wait, deadline)
     while True:
         j0 = _cpu_jiffies()
         time.sleep(1.0)
         if _steal_busy_pct(j0, _cpu_jiffies()) <= thresh:
-            return
+            return True
         if time.monotonic() + 5.0 >= t_end:
-            return
+            return False
         time.sleep(4.0)
 
 
@@ -244,9 +254,10 @@ def _run_pair(
     is budget-starved), then keep resampling WHICHEVER side has the
     weakest quiet-tier evidence until both hold >= ``min_quiet``
     samples at <=5% steal/busy, the per-side cap is hit, or the budget
-    line is crossed. This replaces the fixed window count + single-shot
-    top-up: a side whose every sample was contended now gets ALL the
-    remaining pair budget instead of one retry."""
+    line is crossed. Every RESAMPLE is quiet-gated: the pair's spare
+    budget is spent probing for a lull and measuring inside it — never
+    on another knowingly-contended window (round-5 lesson: three
+    storm samples told us nothing the first window hadn't)."""
     samples = {small: [], big: []}   # [(t, steal_pct), ...]
     triples: dict = {}
     cost = {small: None, big: None}  # measured wall cost of one sample
@@ -254,8 +265,15 @@ def _run_pair(
     def n_quiet(c: int) -> int:
         return len([1 for _, s in samples[c] if s <= _CLEAN_TIERS[0]])
 
-    def take(c: int) -> bool:
-        _wait_for_quiet(deadline)
+    def take(c: int, require_quiet: bool = False) -> bool:
+        # leave room for the sample itself after the wait
+        wait_cap = (
+            (deadline - time.monotonic() - (cost[c] or 150.0))
+            if require_quiet else 45.0
+        )
+        quiet = _wait_for_quiet(deadline, max_wait=max(wait_cap, 1.0))
+        if require_quiet and not quiet:
+            return False  # budget went to probing; storm never broke
         big_side = c == big
         t0 = time.monotonic()
         try:
@@ -289,7 +307,7 @@ def _run_pair(
         c = sorted(needy, key=lambda x: (n_quiet(x), x != small))[0]
         if time.monotonic() > deadline - (cost[c] or 150.0):
             break
-        if not take(c):
+        if not take(c, require_quiet=True):
             break
     return samples, triples
 
@@ -371,7 +389,7 @@ def main():
     # the JSON line always prints with whatever samples exist (a driver
     # timeout mid-scaling would otherwise lose the whole result)
     deadline = time.monotonic() + float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1000")
     )
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
@@ -385,6 +403,14 @@ def main():
         #   2:8        default config — the clean N->4N reading (python
         #              workers own their cores); gets the bulk of the
         #              budget and adaptive contended-side resampling.
+        #   4:16       default config — the same N->4N criterion at a
+        #              ~2x shorter window (local4 ~75 s vs local2
+        #              ~155 s at rep 5): on a stormy box a lull long
+        #              enough for a quiet local2 sample may never
+        #              come, while the 4:16 windows fit lulls half
+        #              the length. ALL pairs are recorded with their
+        #              weather labels — adding a pair is not pair-
+        #              shopping, dropping one would be.
         #   8:32       default config — single-box capped: the local-
         #              mode JVM (scheduling, Arrow encode, shuffle)
         #              shares the SAME 32 cores with the 32 compute-
@@ -401,7 +427,7 @@ def main():
         # SPARK_GRAFT_SCALING_PAIRS to re-add it.
         pairs = []
         for p in os.environ.get(
-            "SPARK_GRAFT_SCALING_PAIRS", "2:8,8:32"
+            "SPARK_GRAFT_SCALING_PAIRS", "2:8,4:16,8:32"
         ).split(","):
             parts = p.split(":")
             pairs.append((int(parts[0]), int(parts[1]),
@@ -478,6 +504,22 @@ def main():
                 f"triples_per_sec_local{big}": round(triples[big] / times[big], 2),
                 "speedup": round(times[small] / times[big], 3),
                 "efficiency_n_to_4n": round((times[small] / times[big]) / 4, 3),
+            }
+            # auxiliary honesty reading: the per-side mins above can
+            # come from very different weather (e.g. small side at 5%
+            # steal, big side's best window 30%), which biases the
+            # ratio. Pair the two samples whose steal %% MATCH most
+            # closely — both sides distorted alike — and report that
+            # ratio too. Secondary evidence, never the headline.
+            m_s, m_b = min(
+                ((a, b) for a in samples[small] for b in samples[big]),
+                key=lambda ab: abs(ab[0][1] - ab[1][1]),
+            )
+            out["scaling"][key]["steal_matched"] = {
+                f"local{small}_sec": m_s[0],
+                f"local{big}_sec": m_b[0],
+                "steal_pct": [m_s[1], m_b[1]],
+                "efficiency_n_to_4n": round((m_s[0] / m_b[0]) / 4, 3),
             }
 
     print(json.dumps(out))
