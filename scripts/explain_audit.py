@@ -196,6 +196,51 @@ def main():
          plan_of(_near_dup_edges(D, F, docs_j)))
     )
 
+    # 10. range join: the bucketed rewrite must be an equi-join, not
+    # the BroadcastNestedLoopJoin Spark plans for a raw inequality join
+    from uie_pytorch_spark.operators.temporal import range_join_bucketed
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select("event_id", "user_id", "ts", "value")
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    sections.append(
+        ("range_join_bucketed (interval containment as bin-explode + equi-join)",
+         "Expect an EQUI-join on (user_id, __bin) — BroadcastHashJoin "
+         "at this SF (AQE broadcasts the small interval side), "
+         "SortMergeJoin at scale — with the containment refine as a "
+         "post-join condition, and NO BroadcastNestedLoopJoin / "
+         "CartesianProduct anywhere (the plan a naive ts BETWEEN "
+         "start AND end join degenerates to). "
+         "Intervals replicate only onto the 1-2 bins they overlap "
+         "(Generate over a 2-element sequence), points are never "
+         "replicated.",
+         plan_of(range_join_bucketed(
+             pts, wins, point_ts="ts", start="w_start", end="w_end",
+             by="user_id", bucket=1800,
+         )))
+    )
+
+    # 11. salted hot-key aggregation: two HashAggregate pairs (salted
+    # partial -> merge) and the corpus total as a broadcast scalar
+    from uie_pytorch_spark.operators import textstats as TS
+
+    sections.append(
+        ("salted_group_stats (Zipfian-domain profile, two-phase salted agg)",
+         "Expect TWO aggregation levels — HashAggregate keyed "
+         "(source, __salt) partial+final, then HashAggregate keyed "
+         "(source) — so a hot domain's rows split across salt "
+         "combiners before any single reduce task sees the key; the "
+         "corpus total enters via BroadcastNestedLoopJoin of a "
+         "1-ROW aggregate (a broadcast scalar, the sanctioned BNLJ "
+         "shape), never a join key.",
+         plan_of(TS.salted_group_stats(docs_full)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"
