@@ -367,3 +367,53 @@ def test_stream_triples_rollup_composition(spark, tmp_path):
         .filter(F.col("count") > 1)
     )
     assert dupes.count() == 0
+
+
+def test_stream_crawl_sessions_native_session_window(spark, tmp_path):
+    """Native session_window streaming agg: wave 1's per-domain crawl
+    sessions finalize once wave 2 advances the watermark; every
+    emitted session equals the batch session_window aggregation, each
+    at most once."""
+    from uie_pytorch_spark.streaming import stream_crawl_sessions
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    all_pages = fixture_web_pages(spark, n_docs=120, seed=33)
+    w1 = all_pages.filter(F.col("url").rlike("/page/[0-5]?[0-9]$"))
+    w2 = all_pages.subtract(w1)
+    w1.write.mode("overwrite").parquet(inp)
+    stream_crawl_sessions(spark, inp, out, ckpt)
+    w2.write.mode("append").parquet(inp)
+    stream_crawl_sessions(spark, inp, out, ckpt)
+
+    got = {
+        (r["session_start"], r["domain"]): (
+            r["session_end"], r["n_pages"], r["n_chars"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no sessions finalized"
+    domain = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    batch = {
+        (r["w"]["start"], r["domain"]): (
+            r["w"]["end"], r["n_pages"], r["n_chars"]
+        )
+        for r in all_pages.withColumn("domain", domain)
+        .groupBy(F.session_window("warc_ts", "30 minutes").alias("w"), "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v
+    dupes = (
+        spark.read.parquet(out)
+        .groupBy("session_start", "domain")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dupes.count() == 0

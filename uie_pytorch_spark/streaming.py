@@ -329,3 +329,58 @@ def stream_triples_rollup(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def stream_crawl_sessions(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    await_termination: bool = True,
+):
+    """Native ``session_window`` streaming rollup: contiguous crawl
+    activity per DOMAIN (pages arriving with less than ``gap``
+    between event times) collapses to one session row
+    (session_start, session_end, domain, n_pages, n_chars). The
+    incremental twin of operators.temporal.sessionize — but where the
+    batch operator replays lag+cumsum deterministically, the
+    streaming form keeps per-(domain, open-session) state that MERGES
+    as new events extend or bridge sessions, and append mode emits a
+    session exactly once after the watermark passes its close. The
+    crawl-scheduler view: per-domain burst length and volume, live.
+    """
+    pages = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    domain = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    agg = (
+        pages.withColumn("domain", domain)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "domain",
+            "n_pages",
+            "n_chars",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
