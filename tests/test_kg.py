@@ -176,3 +176,142 @@ def test_entity_degrees_hand_graph(spark):
     assert got["b"] == (1, 1, 2, 8)    # out 5, in 3
     assert got["c"] == (0, 1, 1, 2)
     assert got["d"] == (1, 1, 1, 2)    # self-loop counts both ways
+
+
+def test_fuse_triples_noisy_or(spark):
+    """Hand-computable noisy-or fusion: two 0.5 mentions -> 0.75, a
+    singleton keeps its own prob, and per-fact doc counts dedup."""
+    from uie_pytorch_spark.kg.graph import fuse_triples
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "p", "b", 0.5, 1),
+            ("a", "p", "b", 0.5, 1),
+            ("a", "p", "c", 0.9, 2),
+            ("x", "q", "y", 0.0, 3),
+        ],
+        "subj_id: string, pred: string, obj_id: string,"
+        " obj_prob: double, doc_id: long",
+    )
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r
+        for r in fuse_triples(tri).collect()
+    }
+    ab = got[("a", "p", "b")]
+    assert ab["n_mentions"] == 2 and ab["n_docs"] == 1
+    assert abs(ab["conf_noisy_or"] - 0.75) < 1e-12
+    assert abs(ab["max_prob"] - 0.5) < 1e-12
+    assert abs(got[("a", "p", "c")]["conf_noisy_or"] - 0.9) < 1e-9
+    assert abs(got[("x", "q", "y")]["conf_noisy_or"] - 0.0) < 1e-12
+
+
+def test_fuse_triples_prob_one_stays_finite(spark):
+    """A certain mention (p=1.0) must not NULL the fused confidence
+    (Spark ln(0) is NULL): the clamp keeps conf just below 1."""
+    from uie_pytorch_spark.kg.graph import fuse_triples
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b", 1.0, 1), ("a", "p", "b", 0.5, 2)],
+        "subj_id: string, pred: string, obj_id: string,"
+        " obj_prob: double, doc_id: long",
+    )
+    [r] = fuse_triples(tri).collect()
+    assert r["conf_noisy_or"] is not None
+    assert 0.999999 < r["conf_noisy_or"] <= 1.0
+
+
+def _np_pagerank(edges, iters, damping=0.85):
+    """Independent dict-based power iteration with the same GraphX
+    convention (init 1.0, no dangling redistribution)."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / outw[s])
+        rank = {n: (1 - damping) + damping * contrib[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_hand_graph(spark):
+    """4-node weighted graph incl. a dangling node, checked against an
+    independent per-edge power iteration."""
+    from uie_pytorch_spark.kg.graph import pagerank
+
+    edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+             ("c", "a", 1.0), ("c", "d", 3.0)]
+    df = spark.createDataFrame(edges, "src: string, dst: string, w: double")
+    got = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(df, iters=8, src="src", dst="dst",
+                          weight="w").collect()
+    }
+    want = _np_pagerank(edges, iters=8)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_pagerank_cycle_fixpoint(spark):
+    """On a uniform cycle every rank stays at the 1.0 fixpoint
+    regardless of iteration count."""
+    from uie_pytorch_spark.kg.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src: string, dst: string, w: double",
+    )
+    for r in pagerank(df, iters=4, src="src", dst="dst",
+                      weight="w").collect():
+        assert abs(r["rank"] - 1.0) < 1e-12
+
+
+def test_pagerank_unweighted_default(spark):
+    """weight=None treats every edge as 1.0."""
+    from uie_pytorch_spark.kg.graph import pagerank
+
+    e = [("a", "b"), ("a", "c"), ("b", "c")]
+    df = spark.createDataFrame(e, "src: string, dst: string")
+    got = {
+        r["entity_id"]: r["rank"]
+        for r in pagerank(df, iters=3, src="src", dst="dst").collect()
+    }
+    want = _np_pagerank([(s, d, 1.0) for s, d in e], iters=3)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, n
+
+
+def test_k_hop_min_distance(spark):
+    """BFS keeps the MINIMUM distance when a node is reachable along
+    paths of different lengths, and stops at k."""
+    from uie_pytorch_spark.kg.graph import k_hop
+
+    # a -> b -> c -> e, plus shortcut a -> c; d unreachable within 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "e"), ("a", "c"), ("e", "f")],
+        "src: string, dst: string",
+    )
+    seeds = spark.createDataFrame([("a",)], "entity_id: string")
+    got = {
+        r["entity_id"]: r["dist"]
+        for r in k_hop(edges, seeds, k=2, src="src", dst="dst").collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "e": 2}
+
+
+def test_k_hop_reversed_direction(spark):
+    """src/dst swapped walks edges backwards (who reaches the seed)."""
+    from uie_pytorch_spark.kg.graph import k_hop
+
+    edges = spark.createDataFrame(
+        [("u", "v"), ("w", "v"), ("x", "u")], "src: string, dst: string"
+    )
+    seeds = spark.createDataFrame([("v",)], "entity_id: string")
+    got = {
+        r["entity_id"]: r["dist"]
+        for r in k_hop(edges, seeds, k=2, src="dst", dst="src").collect()
+    }
+    assert got == {"v": 0, "u": 1, "w": 1, "x": 2}

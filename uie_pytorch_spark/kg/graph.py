@@ -63,6 +63,135 @@ def surface_canonical_map(mentions_canonical: DataFrame) -> DataFrame:
     )
 
 
+def fuse_triples(triples: DataFrame, prob_col: str = "obj_prob") -> DataFrame:
+    """Knowledge fusion: collapse mention-level triples that assert the
+    same canonical fact (subj_id, pred, obj_id) into ONE fused edge
+    whose confidence treats every mention as independent evidence —
+    the noisy-or ``1 - prod(1 - p_i)``, computed shuffle-safely as
+    ``1 - exp(sum(ln(1 - p_i)))`` so it rides a plain combinable SUM
+    instead of an order-sensitive product UDAF.
+
+    Input: (subj_id, pred, obj_id, ``prob_col``, doc_id) mention rows
+    (ids from any canonicalization tier). Output one row per fact:
+    n_mentions, n_docs, max_prob, conf_noisy_or.
+
+    Scale shape: a single map-side-combinable groupBy on the fact key
+    — a boilerplate fact asserted in 10^9 pages partial-aggregates on
+    every map task and moves one partial row per task, never the
+    mentions. Probabilities are clamped to < 1 so ln stays finite
+    (Spark's ``ln(0)`` is NULL where DuckDB's is -inf; the clamp keeps
+    both engines on the same finite arithmetic)."""
+    p = F.least(F.col(prob_col), F.lit(0.999999999))
+    return (
+        triples.groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max(F.col(prob_col)).cast("double").alias("max_prob"),
+            (F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - p))))
+            .cast("double")
+            .alias("conf_noisy_or"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 6,
+    damping: float = 0.85,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    weight: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over the KG edge table —
+    entity salience for ranking/linking (which 'apple' does a bare
+    mention bind to? the high-rank one). GraphX convention: ranks
+    start at 1.0, ``rank'(v) = (1-d) + d * Σ_{u→v} rank(u) *
+    w(u,v)/outw(u)``, dangling mass not redistributed — deterministic
+    and fully expressible as join+groupBy algebra, so the same text
+    runs as an unrolled SQL oracle.
+
+    Scale shape per iteration: ONE shuffle join of the (src, dst,
+    share) table against the rank vector on src, then ONE map-side
+    combinable groupBy on dst, then a left join back to the node set
+    — all keyed equi-joins; the edge-share table is computed once and
+    persisted, and AQE broadcasts the rank vector when it is small
+    relative to edges. For deep iteration counts on a real cluster,
+    checkpoint the rank vector every ~10 rounds to truncate lineage;
+    at the fixed shallow depth used here the single lazy DAG is
+    evaluated once end-to-end."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    share = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+    )
+    nodes = (
+        e.select(F.col("src").alias("entity_id"))
+        .unionByName(e.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    ranks = nodes.select("entity_id", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            share.join(ranks, share["src"] == ranks["entity_id"])
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("__c"))
+        )
+        ranks = nodes.join(contribs, "entity_id", "left").select(
+            "entity_id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("entity_id", F.col("rank").cast("double").alias("rank"))
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Minimum-hop reachability from a seed entity set: every entity
+    within ``k`` directed hops, with its BFS distance — the
+    neighborhood-expansion primitive behind 'everything 2 hops from
+    this organization' KG queries. Pass ``src``/``dst`` swapped to
+    walk edges backwards (who reaches the seeds).
+
+    Frontier BFS: each round joins only the NEW frontier (not the
+    whole reached set) against the edge table and anti-joins out
+    already-reached nodes, so per-round work is proportional to the
+    frontier boundary, not to everything found so far. All keyed
+    equi-joins + distinct — one shuffle pair per hop, k fixed and
+    small; the reached set stays (entity_id, dist) narrow no matter
+    how wide the graph is."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    reached = (
+        seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+    )
+    frontier = reached.select("entity_id")
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["entity_id"] == e["src"])
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(reached.select("entity_id"), "entity_id", "left_anti")
+        )
+        reached = reached.unionByName(
+            nxt.withColumn("dist", F.lit(hop).cast("int"))
+        )
+        frontier = nxt
+    return reached
+
+
 def entity_degrees(edges: DataFrame) -> DataFrame:
     """Node-level degree/strength profile of the KG from its edge
     table (subj_id, pred, obj_id, n_mentions, ...): per canonical

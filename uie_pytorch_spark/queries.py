@@ -2085,6 +2085,236 @@ def hash_split_report(spark, sf_dir):
 
 
 # =====================================================================
+# KG graph algorithms (fusion / PageRank / k-hop) over a deterministic
+# fixture graph.  The SQL below is deliberately DIALECT-NEUTRAL (every
+# numeric literal CAST, only ln/exp/least/round/coalesce — identical
+# in DuckDB and Spark SQL), so one string serves as both the DuckDB
+# oracle and the Spark-SQL front-door text (sql.py reuses it).
+# =====================================================================
+
+# Fixture graph: part --made-in--> region (weight = sum of p_size),
+# nation --in-region--> region (w 2), customer --based-in--> nation
+# (w 1), region --borders--> next region (a 5-cycle, w 3).  ~1.6k
+# nodes at sf0.01 with hubs (regions), fan-in tiers, and a cycle so
+# rank iteration and multi-hop reachability are both non-trivial.
+_KG_GRAPH_EDGES = """
+      SELECT lower(p_name) AS src, lower(r_name) AS dst,
+             CAST(sum(p_size) AS DOUBLE) AS w
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+      GROUP BY lower(p_name), lower(r_name)
+      UNION ALL
+      SELECT lower(n_name) AS src, lower(r_name) AS dst,
+             CAST(2 AS DOUBLE) AS w
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT lower(c_name) AS src, lower(n_name) AS dst,
+             CAST(1 AS DOUBLE) AS w
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT lower(a.r_name) AS src, lower(b.r_name) AS dst,
+             CAST(3 AS DOUBLE) AS w
+      FROM region a JOIN region b ON b.r_regionkey = (a.r_regionkey + 1) % 5
+"""
+
+
+def _kg_graph_edges(spark, sf_dir):
+    """DataFrame twin of _KG_GRAPH_EDGES."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    pr = (
+        p.join(r, r["r_regionkey"] == p["p_partkey"] % 5)
+        .groupBy(F.lower("p_name").alias("src"), F.lower("r_name").alias("dst"))
+        .agg(F.sum("p_size").cast("double").alias("w"))
+    )
+    nr = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.lower("n_name").alias("src"),
+        F.lower("r_name").alias("dst"),
+        F.lit(2.0).alias("w"),
+    )
+    cn = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        F.lower("c_name").alias("src"),
+        F.lower("n_name").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    rr = (
+        r.alias("a")
+        .join(
+            r.alias("b"),
+            F.col("b.r_regionkey") == (F.col("a.r_regionkey") + 1) % 5,
+        )
+        .select(
+            F.lower("a.r_name").alias("src"),
+            F.lower("b.r_name").alias("dst"),
+            F.lit(3.0).alias("w"),
+        )
+    )
+    return pr.unionByName(nr).unionByName(cn).unionByName(rr)
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration weighted PageRank (two CTEs per round:
+    gather contributions, apply damping) — the SQL rendering of
+    kg.graph.pagerank's join+groupBy algebra."""
+    out = [
+        f"WITH e AS ({_KG_GRAPH_EDGES}),",
+        """
+    nodes AS (SELECT src AS entity_id FROM e UNION SELECT dst FROM e),
+    ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+    sh AS (SELECT e.src, e.dst, e.w / ow.outw AS share
+           FROM e JOIN ow ON e.src = ow.src),
+    r0 AS (SELECT entity_id, CAST(1 AS DOUBLE) AS pr FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        out.append(f""",
+    c{i} AS (SELECT sh.dst AS entity_id, sum(r{i - 1}.pr * sh.share) AS c
+             FROM r{i - 1} JOIN sh ON sh.src = r{i - 1}.entity_id
+             GROUP BY sh.dst),
+    r{i} AS (SELECT n.entity_id,
+                    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+                      * coalesce(c{i}.c, CAST(0 AS DOUBLE)) AS pr
+             FROM nodes n LEFT JOIN c{i} ON n.entity_id = c{i}.entity_id)""")
+    out.append(f"""
+    SELECT entity_id, CAST(round(pr * 1000000) AS BIGINT) AS rank_micro
+    FROM r{iters}""")
+    return "".join(out)
+
+
+def _khop_sql(k: int) -> str:
+    """Unrolled reverse-direction BFS from the region seed set: each
+    frontier CTE joins the previous frontier and NOT-INs out every
+    earlier layer — kg.graph.k_hop's frontier/anti-join shape."""
+    out = [
+        f"WITH e0 AS ({_KG_GRAPH_EDGES}),",
+        """
+    e AS (SELECT DISTINCT dst AS src, src AS dst FROM e0),
+    d0 AS (SELECT DISTINCT lower(r_name) AS entity_id FROM region)""",
+    ]
+    for i in range(1, k + 1):
+        prev = "d0" if i == 1 else f"f{i - 1}"
+        excl = " AND ".join(
+            f"entity_id NOT IN (SELECT entity_id FROM {l})"
+            for l in ["d0"] + [f"f{j}" for j in range(1, i)]
+        )
+        out.append(f""",
+    f{i} AS (SELECT entity_id FROM (
+               SELECT DISTINCT e.dst AS entity_id
+               FROM {prev} JOIN e ON {prev}.entity_id = e.src) x{i}
+             WHERE {excl})""")
+    sel = ["\n    SELECT entity_id, CAST(0 AS INT) AS dist FROM d0"]
+    for i in range(1, k + 1):
+        sel.append(f"    SELECT entity_id, CAST({i} AS INT) AS dist FROM f{i}")
+    out.append("\n    UNION ALL\n".join(sel))
+    return "".join(out)
+
+
+@query(
+    "kg_triple_fusion",
+    """
+    WITH tri AS (
+      SELECT p_name AS subj_text, 'made-in' AS pred, r_name AS obj_text,
+             CAST(p_partkey % 83 AS DOUBLE) / CAST(83 AS DOUBLE) AS obj_prob,
+             CAST(p_partkey % 50 AS BIGINT) AS doc_id
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+      UNION ALL
+      SELECT upper(p_name), 'made-in', lower(r_name),
+             CAST(p_partkey % 83 AS DOUBLE) / CAST(83 AS DOUBLE),
+             CAST(p_partkey % 37 AS BIGINT)
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+    ),
+    canon AS (
+      SELECT lower(trim(subj_text)) AS subj_id, pred,
+             lower(trim(obj_text)) AS obj_id, obj_prob, doc_id
+      FROM tri
+    )
+    SELECT subj_id, pred, obj_id,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(obj_prob) AS DOUBLE) AS max_prob,
+           CAST(1 - exp(sum(ln(1 - least(obj_prob,
+                CAST(0.999999999 AS DOUBLE))))) AS DOUBLE) AS conf_noisy_or
+    FROM canon GROUP BY subj_id, pred, obj_id
+    """,
+)
+def kg_triple_fusion(spark, sf_dir):
+    """Knowledge fusion (kg.graph.fuse_triples): the case-variant
+    mention-level triple fixture collapsed onto exact-tier canonical
+    ids, each fact fused with noisy-or confidence over its independent
+    mentions — the step between raw extraction and the edge table that
+    keeps a 10^9-mention boilerplate fact one combinable groupBy."""
+    from .kg.graph import fuse_triples
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    r = _t(spark, sf_dir, "region")
+    base = p.join(r, r["r_regionkey"] == p["p_partkey"] % 5)
+    prob = (F.col("p_partkey") % 83).cast("double") / F.lit(83.0)
+    t1 = base.select(
+        F.col("p_name").alias("subj_text"),
+        F.lit("made-in").alias("pred"),
+        F.col("r_name").alias("obj_text"),
+        prob.alias("obj_prob"),
+        (F.col("p_partkey") % 50).cast("long").alias("doc_id"),
+    )
+    t2 = base.select(
+        F.upper("p_name").alias("subj_text"),
+        F.lit("made-in").alias("pred"),
+        F.lower("r_name").alias("obj_text"),
+        prob.alias("obj_prob"),
+        (F.col("p_partkey") % 37).cast("long").alias("doc_id"),
+    )
+    canon = t1.unionByName(t2).select(
+        F.lower(F.trim("subj_text")).alias("subj_id"),
+        "pred",
+        F.lower(F.trim("obj_text")).alias("obj_id"),
+        "obj_prob",
+        "doc_id",
+    )
+    return fuse_triples(canon)
+
+
+@query("kg_pagerank", _pagerank_sql(5))
+def kg_pagerank(spark, sf_dir):
+    """Entity salience via 5-iteration weighted PageRank
+    (kg.graph.pagerank) over the fixture KG — ranks reported in exact
+    integer micro-units so the cross-engine hash compares bit-stable
+    integers, not accumulated-float tails."""
+    from .kg.graph import pagerank
+
+    ranks = pagerank(
+        _kg_graph_edges(spark, sf_dir),
+        iters=5,
+        damping=0.85,
+        src="src",
+        dst="dst",
+        weight="w",
+    )
+    return ranks.select(
+        "entity_id",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_micro"),
+    )
+
+
+@query("kg_khop_reach", _khop_sql(3))
+def kg_khop_reach(spark, sf_dir):
+    """Reverse 3-hop reachability (kg.graph.k_hop with src/dst
+    swapped): every entity that can reach a region within 3 directed
+    hops, with its BFS distance — customers land at hop 2 through
+    their nation; the empty hop-3 frontier exercises BFS termination."""
+    from .kg.graph import k_hop
+
+    seeds = _t(spark, sf_dir, "region").select(
+        F.lower("r_name").alias("entity_id")
+    )
+    return k_hop(
+        _kg_graph_edges(spark, sf_dir), seeds, k=3, src="dst", dst="src"
+    )
+
+
+# =====================================================================
 # rows-only pipeline queries (model-backed; no SQL oracle — the exact
 # correctness gate for these is tests/test_engine_parity.py)
 # =====================================================================

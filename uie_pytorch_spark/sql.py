@@ -1057,6 +1057,16 @@ SQL_QUERIES = {
     """,
 }
 
+# The KG graph-algorithm queries (fusion / PageRank / k-hop) were
+# written dialect-NEUTRAL from the start — every numeric literal CAST,
+# only ln/exp/least/round/coalesce/NOT IN, identical in DuckDB and
+# Spark SQL — so the oracle text IS the front-door text.
+from .queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+for _kg_q in ("kg_triple_fusion", "kg_pagerank", "kg_khop_reach"):
+    SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
+del _kg_q
+
 
 def sql_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Run a named query through the SQL front door. Same result (and
