@@ -315,3 +315,60 @@ def test_k_hop_reversed_direction(spark):
         for r in k_hop(edges, seeds, k=2, src="dst", dst="src").collect()
     }
     assert got == {"v": 0, "u": 1, "w": 1, "x": 2}
+
+
+def test_cooccurrence_pmi_hand_values(spark):
+    """Three docs, hand-computable marginals: pmi(a,b)=ln(2*3/(3*2))=0,
+    pmi(a,c)=0, pmi(b,c)=ln(3/2); duplicate incidence rows dedup."""
+    import math
+
+    from uie_pytorch_spark.kg.graph import cooccurrence_pmi
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id: long, item: string")
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in cooccurrence_pmi(df, min_pairs=1).collect()
+    }
+    assert got[("a", "b")][0] == 2
+    assert abs(got[("a", "b")][1] - 0.0) < 1e-12
+    assert abs(got[("a", "c")][1] - 0.0) < 1e-12
+    assert abs(got[("b", "c")][1] - math.log(1.5)) < 1e-12
+    assert len(got) == 3
+
+
+def test_cooccurrence_min_pairs_prunes(spark):
+    from uie_pytorch_spark.kg.graph import cooccurrence_pmi
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id: long, item: string")
+    got = {(r["a"], r["b"]) for r in cooccurrence_pmi(df, min_pairs=2).collect()}
+    assert got == {("a", "b")}
+
+
+def test_triangle_counts_square_with_diagonal(spark):
+    """Square a-b-c-d-a plus diagonal a-c: triangles abc and acd, so
+    a and c sit in 2 each, b and d in 1 each — robust to reversed and
+    duplicate orientations and self-loops in the input."""
+    from uie_pytorch_spark.kg.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+         ("c", "a"), ("b", "b")],
+        "a: string, b: string",
+    )
+    got = {
+        r["entity_id"]: r["n_triangles"]
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {"a": 2, "c": 2, "b": 1, "d": 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from uie_pytorch_spark.kg.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a: string, b: string"
+    )
+    assert triangle_counts(edges).count() == 0

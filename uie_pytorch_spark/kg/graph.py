@@ -192,6 +192,115 @@ def k_hop(
     return reached
 
 
+def cooccurrence_pmi(
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    item_col: str = "item",
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Entity co-occurrence graph with PMI edge weights from
+    (document, entity) incidence rows — the classic relatedness signal
+    behind KG link prediction and embedding pretraining: two entities
+    that share documents far more often than their marginals predict
+    get a high ``ln(n_ab * N / (n_a * n_b))``.
+
+    Shape: distinct incidence -> self-equi-join on the document key
+    with ``a < b`` ordering (each unordered pair materializes exactly
+    once) -> ONE combinable groupBy on the pair -> marginal counts and
+    the corpus size join back in as broadcasts. The PMI ratio is
+    computed integer-exactly (one int multiply per side, one double
+    divide, one ln), so the same text hashes identically in DuckDB.
+
+    At web scale the quadratic term is the per-document fan-out: a
+    page mentioning m entities emits C(m,2) pairs, so cap entities per
+    document UPSTREAM (cheap: filter on a per-doc count window) before
+    calling — the join itself is an equi-join and never a cartesian.
+    ``min_pairs`` prunes the long random-cooccurrence tail AFTER the
+    pair count, which is where 99% of pairs die at corpus scale."""
+    d = pairs.select(
+        F.col(doc_col).alias("doc"), F.col(item_col).alias("item")
+    ).distinct()
+    tot = d.agg(F.countDistinct("doc").alias("n_docs"))
+    cnt = d.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select("doc", F.col("item").alias("a"))
+    b = d.select("doc", F.col("item").alias("b"))
+    pair = (
+        a.join(b, "doc")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    ca = cnt.select(F.col("item").alias("a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("item").alias("b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.log(
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle participation on an undirected graph — the
+    local-clustering signal that separates genuinely interlinked
+    entity communities from star-shaped hub noise in a constructed KG.
+
+    Edges are normalized to canonical ``a < b`` orientation first
+    (dropping self-loops and duplicate orientations), then each
+    triangle x<y<z is enumerated exactly once by the textbook ordered
+    two-path + closing-edge equi-join: (x,y)+(y,z) closed by (x,z).
+    Per-node counts are the union of the three corner projections
+    through one combinable groupBy.
+
+    At scale the ordered join bounds each wedge to its lexicographic
+    orientation; for power-law graphs, orient by DEGREE instead
+    (low-degree endpoint first — join entity_degrees and swap) so hub
+    wedge fan-out is O(m^1.5) worst-case rather than hub-quadratic."""
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    t = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    corners = (
+        t.select(F.col("x").alias("entity_id"))
+        .unionByName(t.select(F.col("y").alias("entity_id")))
+        .unionByName(t.select(F.col("z").alias("entity_id")))
+    )
+    return corners.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def entity_degrees(edges: DataFrame) -> DataFrame:
     """Node-level degree/strength profile of the KG from its edge
     table (subj_id, pred, obj_id, n_mentions, ...): per canonical

@@ -2314,6 +2314,84 @@ def kg_khop_reach(spark, sf_dir):
     )
 
 
+# (document, entity) incidence rows for the co-occurrence tier: which
+# part names appear together in one order — 64 distinct items across
+# 15k docs at sf0.01, a dense-but-weighted co-occurrence structure.
+_KG_COOC_INCIDENCE = """
+      SELECT DISTINCT l_orderkey AS doc, p_name AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def _kg_cooc_incidence(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_orderkey").alias("doc_id"), F.col("p_name").alias("item")
+    )
+
+
+@query(
+    "kg_cooccurrence_pmi",
+    f"""
+    WITH d AS ({_KG_COOC_INCIDENCE}),
+    tot AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM d),
+    cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY item),
+    pair AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_ab
+             FROM d x JOIN d y ON x.doc = y.doc AND x.item < y.item
+             GROUP BY x.item, y.item
+             HAVING count(*) >= 50)
+    SELECT pair.a, pair.b, pair.n_ab,
+           CAST(ln(CAST(n_ab * n_docs AS DOUBLE)
+                   / CAST(ca.n * cb.n AS DOUBLE)) AS DOUBLE) AS pmi
+    FROM pair CROSS JOIN tot
+    JOIN cnt ca ON ca.item = pair.a
+    JOIN cnt cb ON cb.item = pair.b
+    """,
+)
+def kg_cooccurrence_pmi(spark, sf_dir):
+    """Entity-relatedness graph (kg.graph.cooccurrence_pmi): PMI-
+    weighted co-occurrence edges over the order/part incidence — the
+    integer-exact ratio keeps the ln argument bit-identical across
+    engines."""
+    from .kg.graph import cooccurrence_pmi
+
+    return cooccurrence_pmi(
+        _kg_cooc_incidence(spark, sf_dir), "doc_id", "item", min_pairs=50
+    )
+
+
+@query(
+    "kg_triangle_counts",
+    f"""
+    WITH d AS ({_KG_COOC_INCIDENCE}),
+    pair AS (SELECT x.item AS a, y.item AS b
+             FROM d x JOIN d y ON x.doc = y.doc AND x.item < y.item
+             GROUP BY x.item, y.item
+             HAVING count(*) >= 70),
+    t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM pair e1 JOIN pair e2 ON e2.a = e1.b
+               JOIN pair e3 ON e3.a = e1.a AND e3.b = e2.b),
+    n AS (SELECT x AS entity_id FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM n GROUP BY entity_id
+    """,
+)
+def kg_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation (kg.graph.triangle_counts) on
+    the strong co-occurrence edges (pair support >= 70): 944 triangles
+    over 64 nodes at sf0.01 — local clustering that distinguishes
+    interlinked communities from hub-star noise."""
+    from .kg.graph import cooccurrence_pmi, triangle_counts
+
+    edges = cooccurrence_pmi(
+        _kg_cooc_incidence(spark, sf_dir), "doc_id", "item", min_pairs=70
+    ).select("a", "b")
+    return triangle_counts(edges)
+
+
 # =====================================================================
 # rows-only pipeline queries (model-backed; no SQL oracle — the exact
 # correctness gate for these is tests/test_engine_parity.py)

@@ -1063,7 +1063,13 @@ SQL_QUERIES = {
 # Spark SQL — so the oracle text IS the front-door text.
 from .queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
-for _kg_q in ("kg_triple_fusion", "kg_pagerank", "kg_khop_reach"):
+for _kg_q in (
+    "kg_triple_fusion",
+    "kg_pagerank",
+    "kg_khop_reach",
+    "kg_cooccurrence_pmi",
+    "kg_triangle_counts",
+):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
 
