@@ -15,8 +15,9 @@ efficiency = (T_N / T_4N) / 4, measured under the ENGINE-DEFAULT
 config. Pairs recorded (see the comment at the scaling loop):
 2:8 default (primary), 4:16 (same criterion, half-length windows —
 fits lulls a 155-s local2 sample cannot), 8:32 (single-box capped);
-the latter two ALWAYS recorded via budget reserves so the headline is
-not pair-shopped.
+ALL pairs get their mandatory back-to-back window BEFORE any repair
+budget is spent, so every pair always lands in the JSON and the
+headline is not pair-shopped.
 
 Weather robustness (rounds 4-5): this VM suffers hypervisor-steal
 bursts that moved whole recorded rounds ±20-80%. Every sample records
@@ -240,76 +241,47 @@ def _wait_for_quiet(
         time.sleep(4.0)
 
 
-def _run_pair(
-    small: int,
-    big: int,
-    bcast: bool,
-    rep: int,
-    deadline: float,
-    min_quiet: int = 2,
-    max_per_side: int = 6,
-):
-    """Sample one N->4N pair adaptively: first both sides back-to-back
-    (one weather window -> the ratio is honest even if everything after
-    is budget-starved), then keep resampling WHICHEVER side has the
-    weakest quiet-tier evidence until both hold >= ``min_quiet``
-    samples at <=5% steal/busy, the per-side cap is hit, or the budget
-    line is crossed. Every RESAMPLE is quiet-gated: the pair's spare
-    budget is spent probing for a lull and measuring inside it — never
-    on another knowingly-contended window (round-5 lesson: three
-    storm samples told us nothing the first window hadn't)."""
-    samples = {small: [], big: []}   # [(t, steal_pct), ...]
-    triples: dict = {}
-    cost = {small: None, big: None}  # measured wall cost of one sample
-
-    def n_quiet(c: int) -> int:
-        return len([1 for _, s in samples[c] if s <= _CLEAN_TIERS[0]])
-
-    def take(c: int, require_quiet: bool = False) -> bool:
-        # leave room for the sample itself after the wait
-        wait_cap = (
-            (deadline - time.monotonic() - (cost[c] or 150.0))
-            if require_quiet else 45.0
+def _take_sample(st: dict, c: int, deadline: float, require_quiet: bool):
+    """Take one scaling sample for side ``c`` of pair-state ``st``.
+    Mandatory samples (require_quiet=False) wait at most 45 s for a
+    lull then measure regardless; repair samples probe for a lull up
+    to the budget line and are NEVER taken knowingly contended (a
+    storm sample adds nothing the mandatory window didn't record)."""
+    wait_cap = (
+        (deadline - time.monotonic() - (st["cost"][c] or 150.0))
+        if require_quiet else 45.0
+    )
+    quiet = _wait_for_quiet(deadline, max_wait=max(wait_cap, 1.0))
+    if require_quiet and not quiet:
+        return False  # budget went to probing; storm never broke
+    big_side = c == st["big"]
+    t0 = time.monotonic()
+    try:
+        t, n, steal = _scaling_sample(
+            c, st["rep"],
+            inner=2 if big_side else 1,
+            warm_rep=1 if big_side else 0,
+            bcast=st["bcast"],
         )
-        quiet = _wait_for_quiet(deadline, max_wait=max(wait_cap, 1.0))
-        if require_quiet and not quiet:
-            return False  # budget went to probing; storm never broke
-        big_side = c == big
-        t0 = time.monotonic()
-        try:
-            t, n, steal = _scaling_sample(
-                c, rep,
-                inner=2 if big_side else 1,
-                warm_rep=1 if big_side else 0,
-                bcast=bcast,
-            )
-        except Exception:
-            return False  # a failed sample must not kill the bench
-        cost[c] = time.monotonic() - t0
-        samples[c].append((round(t, 3), steal))
-        triples[c] = n
-        return True
+    except Exception:
+        return False  # a failed sample must not kill the bench
+    st["cost"][c] = time.monotonic() - t0
+    st["samples"][c].append((round(t, 3), steal))
+    st["triples"][c] = n
+    return True
 
-    for c in (small, big):
-        take(c)
-    while True:
-        needy = [
-            c for c in (small, big)
-            if samples[c]
-            and n_quiet(c) < min_quiet
-            and len(samples[c]) < max_per_side
-        ]
-        if not needy:
-            break
-        # fewest quiet samples first; tie -> the small side (1 timed
-        # run per sample vs the big side's warm-up + min-of-2, so it
-        # dominates the ratio's variance)
-        c = sorted(needy, key=lambda x: (n_quiet(x), x != small))[0]
-        if time.monotonic() > deadline - (cost[c] or 150.0):
-            break
-        if not take(c, require_quiet=True):
-            break
-    return samples, triples
+
+def _est_window_cost(small: int, big: int, rep: int) -> float:
+    """Rough wall cost (s) of one mandatory back-to-back window at
+    ``rep`` on this box: the small side runs once timed, the big side
+    warm-up + min-of-2 (3 passes), plus two JVM/python spawns. Used
+    only to size reps so every pair's mandatory window fits."""
+    per_rep = {2: 30.0, 4: 18.0, 8: 12.0, 16: 10.0, 32: 9.0}
+    return (
+        per_rep.get(small, 20.0) * rep
+        + 3.0 * per_rep.get(big, 9.0) * rep
+        + 40.0
+    )
 
 
 def main():
@@ -418,10 +390,11 @@ def main():
         #              understates a real cluster, where executors add
         #              NODES (the kernel alone scales at ~0.82 to 32
         #              independent processes; BENCH.md); ALWAYS
-        #              recorded — a budget reserve is carved out for it
-        #              and its replicate factor shrinks to whatever the
-        #              leftover budget affords (round 4 lost this pair
-        #              entirely to a contended primary window).
+        #              recorded — its mandatory window runs in phase 1
+        #              before any repair budget is spent, with the
+        #              replicate factor shrunk to fit what's left
+        #              (round 4 lost this pair entirely to a contended
+        #              primary window).
         # The broadcast-hint comparability pair (2:8:bcast, round-2's
         # tuned config) left the default list to fund the above; pass
         # SPARK_GRAFT_SCALING_PAIRS to re-add it.
@@ -435,30 +408,72 @@ def main():
         out["scaling"] = {}
         rep_mult = int(os.environ.get("SPARK_GRAFT_SCALING_REP_MULT", "5"))
         max_per_side = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "6"))
-        # budget reserved so every non-primary pair still lands in the
-        # JSON: one cheap window (small rep) per remaining pair
-        reserve_each = 170.0
+
+        # --- phase 1: one MANDATORY back-to-back window per pair,
+        # BEFORE any budget goes to quiet-window repair. Round 4 lost
+        # the 8:32 pair to a contended primary window, and a reserve-
+        # based scheduler lost it again when an earlier pair's quiet-
+        # gated probing ate the reserve — so mandatory windows now run
+        # first for ALL pairs and repair only spends what is left.
+        # Reps shrink (never below 1) when the leftover budget cannot
+        # fit this pair's window plus the estimated windows of the
+        # pairs still waiting.
+        states = []
         for pair_idx, (small, big, bcast) in enumerate(pairs):
-            remaining_pairs = len(pairs) - pair_idx - 1
-            pair_deadline = deadline - reserve_each * remaining_pairs
             if pair_idx == 0:
                 # replicate scales the corpus so model compute dominates
                 # the fixed driver/scheduler seconds (which do NOT scale
                 # and dilute measured efficiency)
                 rep = min(max(1, (big * rep_mult) // 8), 6)
             else:
-                # corroborating evidence: size the window to the budget
-                # actually left (rep 4 ~ 160 s, rep 2 ~ 90 s, rep 1
-                # ~ 60 s for the 8:32 pair) rather than skipping
-                left = pair_deadline - time.monotonic()
-                rep = 4 if left > 320 else (2 if left > 150 else 1)
-            if out["scaling"] and time.monotonic() > deadline - 60:
-                break  # truly out of budget: keep the pairs we have
-            samples, triples = _run_pair(
-                small, big, bcast, rep, pair_deadline,
-                min_quiet=2 if pair_idx == 0 else 1,
-                max_per_side=max_per_side if pair_idx == 0 else 3,
+                rep = 4 if pair_idx == 1 else 2
+            later = sum(
+                _est_window_cost(s2, b2, 1) for s2, b2, _ in
+                [(p[0], p[1], p[2]) for p in pairs[pair_idx + 1:]]
             )
+            left = deadline - time.monotonic()
+            while rep > 1 and _est_window_cost(small, big, rep) > left - later:
+                rep -= 1
+            st = {
+                "small": small, "big": big, "bcast": bcast, "rep": rep,
+                "min_quiet": 2 if pair_idx == 0 else 1,
+                "cap": max_per_side if pair_idx == 0 else 3,
+                "samples": {small: [], big: []},
+                "triples": {}, "cost": {small: None, big: None},
+            }
+            states.append(st)
+            if left - later < _est_window_cost(small, big, 1) and pair_idx:
+                continue  # truly out of budget: pair emits only if sampled
+            for c in (small, big):
+                _take_sample(st, c, deadline, require_quiet=False)
+
+        # --- phase 2: quiet-gated repair, primary pair first. Pick the
+        # first side (in pair priority order) whose quiet-tier evidence
+        # is below target and probe for a lull before each resample; a
+        # storm that never breaks ends the phase with the budget spent
+        # probing, not measuring noise.
+        while True:
+            target = None
+            for st in states:
+                for c in (st["small"], st["big"]):
+                    sam = st["samples"][c]
+                    nq = len([1 for _, s in sam if s <= _CLEAN_TIERS[0]])
+                    if sam and nq < st["min_quiet"] and len(sam) < st["cap"]:
+                        target = (st, c)
+                        break
+                if target:
+                    break
+            if not target:
+                break
+            st, c = target
+            if time.monotonic() > deadline - (st["cost"][c] or 150.0):
+                break
+            if not _take_sample(st, c, deadline, require_quiet=True):
+                break
+
+        for st in states:
+            small, big, bcast = st["small"], st["big"], st["bcast"]
+            samples, triples, rep = st["samples"], st["triples"], st["rep"]
             if not (samples[small] and samples[big]):
                 continue
             times, tiers = {}, {}

@@ -372,3 +372,114 @@ def test_triangle_counts_no_triangles(spark):
         [("a", "b"), ("b", "c"), ("c", "d")], "a: string, b: string"
     )
     assert triangle_counts(edges).count() == 0
+
+
+def test_merge_edges_equals_fuse_all_at_once(spark):
+    """Associativity: fusing two disjoint batches then merging must
+    equal fusing every mention at once (counts exactly, conf to 1e-9)."""
+    from uie_pytorch_spark.kg.graph import fuse_triples
+    from uie_pytorch_spark.kg.maintain import merge_edges
+
+    rows = [
+        ("s1", "p", "o1", 0.9, 1), ("s1", "p", "o1", 0.5, 2),
+        ("s1", "p", "o1", 0.8, 3), ("s2", "p", "o2", 0.7, 1),
+        ("s3", "p", "o3", 0.6, 4),
+    ]
+    schema = "subj_id: string, pred: string, obj_id: string, obj_prob: double, doc_id: long"
+    m = spark.createDataFrame(rows, schema)
+    base = fuse_triples(m.filter("doc_id % 2 = 0"))
+    delta = fuse_triples(m.filter("doc_id % 2 = 1"))
+    merged = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r
+        for r in merge_edges(base, delta).collect()
+    }
+    once = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r
+        for r in fuse_triples(m).collect()
+    }
+    assert set(merged) == set(once)
+    for k in once:
+        assert merged[k]["n_mentions"] == once[k]["n_mentions"]
+        assert merged[k]["n_docs"] == once[k]["n_docs"]
+        assert merged[k]["max_prob"] == once[k]["max_prob"]
+        assert abs(merged[k]["conf_noisy_or"] - once[k]["conf_noisy_or"]) < 1e-9
+
+
+def test_snapshot_latest_supersedes_and_tiebreaks(spark):
+    from datetime import datetime
+
+    from uie_pytorch_spark.kg.maintain import snapshot_latest
+
+    t = spark.createDataFrame(
+        [
+            ("s1", "p", "old", datetime(2026, 1, 1)),
+            ("s1", "p", "new", datetime(2026, 2, 1)),
+            ("s2", "p", "a", datetime(2026, 1, 1)),
+            ("s2", "p", "b", datetime(2026, 1, 1)),  # tie -> obj desc
+        ],
+        "subj_id: string, pred: string, obj_id: string, ts: timestamp",
+    )
+    got = {r["subj_id"]: r["obj_id"] for r in snapshot_latest(t).collect()}
+    assert got == {"s1": "new", "s2": "b"}
+
+
+def test_relation_compose_counts_paths(spark):
+    """a-[p1]->m1,m2; m1,m2-[p2]->c gives 2 paths a->c with summed
+    weight w1*w2 per path; unrelated predicates are filtered out."""
+    from uie_pytorch_spark.kg.maintain import relation_compose
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p1", "m1", 2.0), ("a", "p1", "m2", 3.0),
+            ("m1", "p2", "c", 5.0), ("m2", "p2", "c", 7.0),
+            ("a", "px", "c", 99.0),
+        ],
+        "subj_id: string, pred: string, obj_id: string, w: double",
+    )
+    out = relation_compose(t, "p1", "p2", "p1p2", weight="w").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["subj_id"], r["pred"], r["obj_id"]) == ("a", "p1p2", "c")
+    assert r["n_paths"] == 2
+    assert r["weight"] == 2.0 * 5.0 + 3.0 * 7.0
+
+
+def test_entity_types_majority_and_tiebreak(spark):
+    from uie_pytorch_spark.kg.maintain import entity_types
+
+    sig = spark.createDataFrame(
+        [("p1", "person", "city"), ("p2", "org", "city")],
+        "pred: string, subj_type: string, obj_type: string",
+    )
+    t = spark.createDataFrame(
+        [
+            ("e1", "p1", "c1"), ("e1", "p1", "c2"), ("e1", "p2", "c1"),
+            ("e2", "p1", "c9"), ("c9", "p2", "e2"),  # e2: person vs city tie
+        ],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    got = {
+        r["entity_id"]: (r["entity_type"], r["n_votes"])
+        for r in entity_types(t, sig).collect()
+    }
+    assert got["e1"] == ("person", 2)
+    assert got["e2"] == ("city", 1)  # tie 1-1 breaks to smallest name
+    assert got["c1"] == ("city", 2)
+
+
+def test_degree_histogram_buckets_exact(spark):
+    """Star a-{b..e} plus b-c: deg(a)=4 -> bucket 2; deg(b)=deg(c)=2
+    -> bucket 1; deg(d)=deg(e)=1 -> bucket 0. Direction-blind and
+    duplicate-edge-proof."""
+    from uie_pytorch_spark.kg.graph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("a", "e"),
+         ("b", "c")],
+        "src: string, dst: string",
+    )
+    got = {
+        r["bucket"]: (r["n_entities"], r["min_degree"], r["max_degree"])
+        for r in degree_histogram(edges).collect()
+    }
+    assert got == {2: (1, 4, 4), 1: (2, 2, 2), 0: (2, 1, 1)}

@@ -337,3 +337,46 @@ def entity_degrees(edges: DataFrame) -> DataFrame:
             F.sum("strength").cast("long").alias("strength"),
         )
     )
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Log2-bucketed degree distribution of the KG — the one-page
+    skew report that decides salting/capping strategy before any
+    per-entity join: bucket b holds entities with distinct-neighbor
+    degree in [2^b, 2^(b+1)), and a fat tail bucket IS the hot-key
+    list. Direction-blind: a neighbor counts once whichever way the
+    edge points.
+
+    The bucket is computed integer-exactly as ``length(bin(degree)) -
+    1`` (the bit length of a positive integer is floor(log2)+1), so
+    there is no float log2 to disagree at exact powers of two across
+    engines. Shape: symmetric projection union -> distinct ->
+    per-entity count -> ONE tiny groupBy on the bucket; linear in |E|,
+    output is O(log max-degree) rows."""
+    nbr = (
+        edges.select(F.col(src).alias("entity_id"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("entity_id"), F.col(src).alias("nbr")
+            )
+        )
+        .filter(F.col("entity_id") != F.col("nbr"))
+        .distinct()
+    )
+    deg = nbr.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        deg.withColumn(
+            "bucket",
+            (F.length(F.bin(F.col("degree"))) - F.lit(1)).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )

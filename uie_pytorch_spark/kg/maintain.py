@@ -1,0 +1,164 @@
+"""Incremental KG maintenance: the operations that keep a constructed
+knowledge graph alive after the first batch — merging a delta batch of
+fused edges into the standing edge table, snapshotting the latest
+assertion per fact key from a timestamped triple stream, composing
+relations along 2-hop paths, and voting entity types from predicate
+signatures.
+
+The reference (HUSTAI/uie_pytorch) extracts triples one text at a time
+(uie_predictor.py:212-329) and leaves accumulation to the caller; at
+10^12-document scale the accumulation IS the product: every crawl
+snapshot lands as a delta that must fold into the standing graph
+without re-reading history. Everything here is union + keyed groupBy /
+window algebra — no iteration, no driver-side state — so each
+maintenance pass is one shuffle over the delta plus the touched slice
+of the base table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_CLAMP = 0.999999999
+
+
+def merge_edges(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta batch of fused edges into the standing edge table:
+    both sides carry (subj_id, pred, obj_id, n_mentions, n_docs,
+    max_prob, conf_noisy_or) — the fuse_triples output schema — and the
+    merged row re-combines them as if every mention had been fused at
+    once: counts add, max_prob maxes, and noisy-or composes as
+    ``1 - (1-c_base)(1-c_delta)`` (independent-evidence algebra is
+    associative, so batch-then-merge equals fuse-all-at-once up to
+    float rounding). ``n_docs`` adds because batches partition the
+    crawl by time — a doc lives in exactly one batch.
+
+    Shape: unionByName + ONE map-side-combinable groupBy on the fact
+    key — never a full-outer join, so a 10^10-edge base table with a
+    10^6-edge delta moves one partial row per touched fact, and AQE
+    sees a plain aggregate it can coalesce. The log-space rewrite
+    ``1 - exp(sum(ln(1 - c)))`` keeps the combine a plain SUM."""
+    u = base.unionByName(delta)
+    c = F.least(F.col("conf_noisy_or"), F.lit(_CLAMP))
+    return u.groupBy("subj_id", "pred", "obj_id").agg(
+        F.sum("n_mentions").cast("long").alias("n_mentions"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.max("max_prob").cast("double").alias("max_prob"),
+        (F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - c))))
+        .cast("double")
+        .alias("conf_noisy_or"),
+    )
+
+
+def snapshot_latest(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """Temporal snapshot: the latest asserted object per (subject,
+    predicate) — 'what does the graph believe NOW' over a triple table
+    where recrawls re-assert facts with newer timestamps. Ties on the
+    timestamp break deterministically on the object (descending), so
+    the snapshot is a pure function of the input set.
+
+    Shape: project to the four relevant columns FIRST (the window then
+    sorts narrow rows), one window partitioned by the fact key —
+    a keyed shuffle, no global ordering; hot subjects stay one
+    partition's worth of rows because the key includes the predicate."""
+    w = Window.partitionBy(subj, pred).orderBy(
+        F.col(ts_col).desc(), F.col(obj).desc()
+    )
+    return (
+        triples.select(subj, pred, obj, ts_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def relation_compose(
+    triples: DataFrame,
+    pred_ab: str,
+    pred_bc: str,
+    out_pred: str,
+    weight: str | None = None,
+) -> DataFrame:
+    """Relation composition (the Datalog join rule ``out(a,c) :-
+    p1(a,b), p2(b,c)``): materialize a derived predicate along every
+    2-hop path, with the path count and the summed path weight
+    (w1 * w2 per path) — 'made-in' composed with 'next-to' yields
+    'made-near', 'in-nation' with 'in-region' yields the inferred
+    'in-region' closure for entity linking.
+
+    Shape: two pushed-down predicate filters -> ONE equi-join on the
+    shared midpoint -> ONE combinable groupBy on (a, c). At web scale
+    the midpoint key is the skew risk (a hub entity joins its fan-in
+    against its fan-out); cap or salt hub midpoints upstream via
+    entity_degrees — the join itself never degenerates to a cartesian
+    because both sides filter to single predicates first."""
+    w_expr = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    )
+    ab = triples.filter(F.col("pred") == pred_ab).select(
+        F.col("subj_id").alias("a"),
+        F.col("obj_id").alias("b"),
+        w_expr.alias("w1"),
+    )
+    bc = triples.filter(F.col("pred") == pred_bc).select(
+        F.col("subj_id").alias("b"),
+        F.col("obj_id").alias("c"),
+        w_expr.alias("w2"),
+    )
+    return (
+        ab.join(bc, "b")
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.col("w1") * F.col("w2")).cast("double").alias("weight"),
+        )
+        .select(
+            F.col("a").alias("subj_id"),
+            F.lit(out_pred).alias("pred"),
+            F.col("c").alias("obj_id"),
+            "n_paths",
+            "weight",
+        )
+    )
+
+
+def entity_types(triples: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Type induction from predicate signatures: each predicate carries
+    a (subj_type, obj_type) contract — ``signatures(pred, subj_type,
+    obj_type)`` — and every mention votes its types onto both
+    endpoints; an entity's type is the majority vote, ties broken by
+    the lexicographically smallest type so the assignment is
+    deterministic. The standard schema-driven typing pass that gives a
+    prompt-extracted KG its ontology layer.
+
+    Shape: one broadcast join against the (tiny) signature dim, two
+    endpoint projections unioned, ONE combinable vote count, one
+    keyed window for the argmax — no self-joins, linear in mentions."""
+    t = triples.join(F.broadcast(signatures), "pred")
+    votes = t.select(
+        F.col("subj_id").alias("entity_id"),
+        F.col("subj_type").alias("entity_type"),
+    ).unionByName(
+        t.select(
+            F.col("obj_id").alias("entity_id"),
+            F.col("obj_type").alias("entity_type"),
+        )
+    )
+    counts = votes.groupBy("entity_id", "entity_type").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("n_votes").desc(), F.col("entity_type").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -2248,6 +2248,12 @@ def kg_triple_fusion(spark, sf_dir):
     keeps a 10^9-mention boilerplate fact one combinable groupBy."""
     from .kg.graph import fuse_triples
 
+    return fuse_triples(_kg_fusion_mentions(spark, sf_dir))
+
+
+def _kg_fusion_mentions(spark, sf_dir):
+    """Canonical-id mention-level triples shared by the fusion and
+    delta-merge queries — DataFrame twin of _KG_FUSION_CANON."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
     r = _t(spark, sf_dir, "region")
     base = p.join(r, r["r_regionkey"] == p["p_partkey"] % 5)
@@ -2266,14 +2272,13 @@ def kg_triple_fusion(spark, sf_dir):
         prob.alias("obj_prob"),
         (F.col("p_partkey") % 37).cast("long").alias("doc_id"),
     )
-    canon = t1.unionByName(t2).select(
+    return t1.unionByName(t2).select(
         F.lower(F.trim("subj_text")).alias("subj_id"),
         "pred",
         F.lower(F.trim("obj_text")).alias("obj_id"),
         "obj_prob",
         "doc_id",
     )
-    return fuse_triples(canon)
 
 
 @query("kg_pagerank", _pagerank_sql(5))
@@ -2390,6 +2395,284 @@ def kg_triangle_counts(spark, sf_dir):
         _kg_cooc_incidence(spark, sf_dir), "doc_id", "item", min_pairs=70
     ).select("a", "b")
     return triangle_counts(edges)
+
+
+# Mention-level canonical triples shared by the fusion / delta-merge
+# oracles — the SQL rendering of _kg_fusion_mentions.
+_KG_FUSION_CANON = """
+      SELECT lower(trim(subj_text)) AS subj_id, pred,
+             lower(trim(obj_text)) AS obj_id, obj_prob, doc_id
+      FROM (
+        SELECT p_name AS subj_text, 'made-in' AS pred, r_name AS obj_text,
+               CAST(p_partkey % 83 AS DOUBLE) / CAST(83 AS DOUBLE) AS obj_prob,
+               CAST(p_partkey % 50 AS BIGINT) AS doc_id
+        FROM part JOIN region ON r_regionkey = p_partkey % 5
+        WHERE p_size > 47
+        UNION ALL
+        SELECT upper(p_name), 'made-in', lower(r_name),
+               CAST(p_partkey % 83 AS DOUBLE) / CAST(83 AS DOUBLE),
+               CAST(p_partkey % 37 AS BIGINT)
+        FROM part JOIN region ON r_regionkey = p_partkey % 5
+        WHERE p_size > 47
+      ) tri
+"""
+
+
+def _kg_fused_batch_sql(where: str) -> str:
+    """One fused batch (kg.graph.fuse_triples shape) over the shared
+    canon CTE, restricted by ``where`` — used twice by the delta-merge
+    oracle to fuse the even / odd crawl batches independently."""
+    return f"""SELECT subj_id, pred, obj_id,
+           CAST(count(*) AS BIGINT) AS n_mentions,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(obj_prob) AS DOUBLE) AS max_prob,
+           CAST(1 - exp(sum(ln(1 - least(obj_prob,
+                CAST(0.999999999 AS DOUBLE))))) AS DOUBLE) AS conf_noisy_or
+    FROM canon {where} GROUP BY subj_id, pred, obj_id"""
+
+
+@query(
+    "kg_merge_delta",
+    f"""
+    WITH canon AS ({_KG_FUSION_CANON}),
+    b AS ({_kg_fused_batch_sql("WHERE doc_id % 2 = 0")}),
+    d AS ({_kg_fused_batch_sql("WHERE doc_id % 2 = 1")}),
+    u AS (SELECT * FROM b UNION ALL SELECT * FROM d)
+    SELECT subj_id, pred, obj_id,
+           CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(max_prob) AS DOUBLE) AS max_prob,
+           CAST(round((1 - exp(sum(ln(1 - least(conf_noisy_or,
+                CAST(0.999999999 AS DOUBLE)))))) * 1000000) AS BIGINT)
+             AS conf_micro
+    FROM u GROUP BY subj_id, pred, obj_id
+    """,
+)
+def kg_merge_delta(spark, sf_dir):
+    """Incremental KG maintenance (kg.maintain.merge_edges): the
+    mention fixture split into two crawl batches by doc parity, each
+    fused independently, then the delta folded into the base — the
+    merged noisy-or reported in integer micro-units so the doubly
+    nested exp/ln compares bit-stable across engines."""
+    from .kg.graph import fuse_triples
+    from .kg.maintain import merge_edges
+
+    m = _kg_fusion_mentions(spark, sf_dir)
+    base = fuse_triples(m.filter(F.col("doc_id") % 2 == 0))
+    delta = fuse_triples(m.filter(F.col("doc_id") % 2 == 1))
+    merged = merge_edges(base, delta)
+    return merged.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "n_mentions",
+        "n_docs",
+        "max_prob",
+        F.round(F.col("conf_noisy_or") * 1000000)
+        .cast("long")
+        .alias("conf_micro"),
+    )
+
+
+@query(
+    "kg_snapshot_latest",
+    """
+    WITH t AS (
+      SELECT CAST(o_custkey AS BIGINT) AS subj_id,
+             'latest_status' AS pred,
+             o_orderstatus AS obj_id,
+             o_orderdate AS ts
+      FROM orders
+    ),
+    r AS (
+      SELECT subj_id, pred, obj_id, ts,
+             row_number() OVER (PARTITION BY subj_id, pred
+                                ORDER BY ts DESC, obj_id DESC) AS rn
+      FROM t
+    )
+    SELECT subj_id, pred, obj_id, ts FROM r WHERE rn = 1
+    """,
+)
+def kg_snapshot_latest(spark, sf_dir):
+    """Temporal snapshot (kg.maintain.snapshot_latest): the latest
+    asserted object per (subject, predicate) over a timestamped triple
+    view of orders — recrawl supersession with a deterministic
+    object-descending tie-break."""
+    from .kg.maintain import snapshot_latest
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("subj_id"),
+        F.lit("latest_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return snapshot_latest(t)
+
+
+# Pred-labeled KG edges for the composition / typing tier: the fixture
+# graph of _KG_GRAPH_EDGES with its predicates kept.
+_KG_PRED_EDGES = """
+      SELECT DISTINCT lower(p_name) AS subj_id, 'made-in' AS pred,
+             lower(r_name) AS obj_id
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+      UNION ALL
+      SELECT lower(c_name), 'in-nation', lower(n_name)
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT lower(n_name), 'in-region', lower(r_name)
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT lower(a.r_name), 'next-to', lower(b.r_name)
+      FROM region a JOIN region b ON b.r_regionkey = (a.r_regionkey + 1) % 5
+"""
+
+
+def _kg_pred_edges(spark, sf_dir):
+    """DataFrame twin of _KG_PRED_EDGES."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    made = (
+        p.join(r, r["r_regionkey"] == p["p_partkey"] % 5)
+        .select(
+            F.lower("p_name").alias("subj_id"),
+            F.lit("made-in").alias("pred"),
+            F.lower("r_name").alias("obj_id"),
+        )
+        .distinct()
+    )
+    in_nation = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        F.lower("c_name").alias("subj_id"),
+        F.lit("in-nation").alias("pred"),
+        F.lower("n_name").alias("obj_id"),
+    )
+    in_region = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(
+        F.lower("n_name").alias("subj_id"),
+        F.lit("in-region").alias("pred"),
+        F.lower("r_name").alias("obj_id"),
+    )
+    ra, rb = r.alias("a"), r.alias("b")
+    ring = ra.join(
+        rb, F.col("b.r_regionkey") == (F.col("a.r_regionkey") + 1) % 5
+    ).select(
+        F.lower("a.r_name").alias("subj_id"),
+        F.lit("next-to").alias("pred"),
+        F.lower("b.r_name").alias("obj_id"),
+    )
+    return made.unionByName(in_nation).unionByName(in_region).unionByName(
+        ring
+    )
+
+
+@query(
+    "kg_relation_compose",
+    f"""
+    WITH t AS ({_KG_PRED_EDGES}),
+    ab AS (SELECT subj_id AS a, obj_id AS b FROM t WHERE pred = 'made-in'),
+    bc AS (SELECT obj_id AS b, subj_id AS c FROM t WHERE pred = 'made-in')
+    SELECT ab.a AS subj_id, 'co-located' AS pred, bc.c AS obj_id,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(*) AS DOUBLE) AS weight
+    FROM ab JOIN bc ON ab.b = bc.b
+    GROUP BY ab.a, bc.c
+    """,
+)
+def kg_relation_compose(spark, sf_dir):
+    """Relation composition (kg.maintain.relation_compose): 'made-in'
+    composed with its own reverse yields 'co-located' — parts that
+    share a production region, with the shared-region path count. The
+    reversed leg is fed as a derived 'hosts' predicate so the operator
+    exercises its two-predicate Datalog shape."""
+    from .kg.maintain import relation_compose
+
+    t = _kg_pred_edges(spark, sf_dir)
+    made = t.filter(F.col("pred") == "made-in")
+    hosts = made.select(
+        F.col("obj_id").alias("subj_id"),
+        F.lit("hosts").alias("pred"),
+        F.col("subj_id").alias("obj_id"),
+    )
+    return relation_compose(
+        made.unionByName(hosts), "made-in", "hosts", "co-located"
+    )
+
+
+@query(
+    "kg_entity_types",
+    f"""
+    WITH sig(pred, subj_type, obj_type) AS (
+      VALUES ('in-nation', 'customer', 'nation'),
+             ('in-region', 'nation', 'region'),
+             ('made-in', 'product', 'region'),
+             ('next-to', 'region', 'region')
+    ),
+    t AS ({_KG_PRED_EDGES}),
+    j AS (SELECT t.subj_id, t.obj_id, s.subj_type, s.obj_type
+          FROM t JOIN sig s ON s.pred = t.pred),
+    v AS (SELECT subj_id AS entity_id, subj_type AS entity_type FROM j
+          UNION ALL
+          SELECT obj_id, obj_type FROM j),
+    c AS (SELECT entity_id, entity_type, CAST(count(*) AS BIGINT) AS n_votes
+          FROM v GROUP BY entity_id, entity_type),
+    r AS (SELECT entity_id, entity_type, n_votes,
+                 row_number() OVER (PARTITION BY entity_id
+                                    ORDER BY n_votes DESC,
+                                             entity_type ASC) AS rn
+          FROM c)
+    SELECT entity_id, entity_type, n_votes FROM r WHERE rn = 1
+    """,
+)
+def kg_entity_types(spark, sf_dir):
+    """Ontology typing (kg.maintain.entity_types): every mention votes
+    its predicate's (subj_type, obj_type) signature onto both
+    endpoints; majority wins, ties break to the smallest type name —
+    regions accumulate votes from three different predicates."""
+    from .kg.maintain import entity_types
+
+    sig = spark.createDataFrame(
+        [
+            ("in-nation", "customer", "nation"),
+            ("in-region", "nation", "region"),
+            ("made-in", "product", "region"),
+            ("next-to", "region", "region"),
+        ],
+        "pred: string, subj_type: string, obj_type: string",
+    )
+    return entity_types(_kg_pred_edges(spark, sf_dir), sig)
+
+
+@query(
+    "kg_degree_histogram",
+    f"""
+    WITH e AS ({_KG_GRAPH_EDGES}),
+    nbr AS (SELECT DISTINCT entity_id, nbr FROM (
+              SELECT src AS entity_id, dst AS nbr FROM e
+              UNION ALL
+              SELECT dst, src FROM e) u
+            WHERE entity_id <> nbr),
+    deg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS degree
+            FROM nbr GROUP BY entity_id)
+    SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY length(bin(degree)) - 1
+    """,
+)
+def kg_degree_histogram(spark, sf_dir):
+    """Skew report (kg.graph.degree_histogram): log2-bucketed
+    distinct-neighbor degree distribution of the fixture KG — the
+    bucket is the integer bit length, so no float log2 can disagree at
+    exact powers of two."""
+    from .kg.graph import degree_histogram
+
+    return degree_histogram(_kg_graph_edges(spark, sf_dir))
 
 
 # =====================================================================

@@ -1069,6 +1069,11 @@ for _kg_q in (
     "kg_khop_reach",
     "kg_cooccurrence_pmi",
     "kg_triangle_counts",
+    "kg_merge_delta",
+    "kg_snapshot_latest",
+    "kg_relation_compose",
+    "kg_entity_types",
+    "kg_degree_histogram",
 ):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
