@@ -426,7 +426,12 @@ def main():
                 # and dilute measured efficiency)
                 rep = min(max(1, (big * rep_mult) // 8), 6)
             else:
-                rep = 4 if pair_idx == 1 else 2
+                # as large as the mandatory phase affords: a small rep
+                # dilutes the ratio with fixed driver/scheduler seconds
+                # (rep-2 8:32 read 0.33 where rep-5 kernel-pool runs
+                # read 0.75-0.82) — presence is already guaranteed by
+                # phase 1, so spend the reserve on window LENGTH
+                rep = 5 if pair_idx == 1 else 4
             later = sum(
                 _est_window_cost(s2, b2, 1) for s2, b2, _ in
                 [(p[0], p[1], p[2]) for p in pairs[pair_idx + 1:]]

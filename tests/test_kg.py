@@ -483,3 +483,29 @@ def test_degree_histogram_buckets_exact(spark):
         for r in degree_histogram(edges).collect()
     }
     assert got == {2: (1, 4, 4), 1: (2, 2, 2), 0: (2, 1, 1)}
+
+
+def test_link_mentions_salience_argmax(spark):
+    """'apple' matches both entities containing the token; the higher
+    rank wins; rank ties break to the smaller entity_id; a token unique
+    to one entity links with n_candidates=1; unmatched mentions drop."""
+    from uie_pytorch_spark.kg.graph import link_mentions
+
+    ranks = spark.createDataFrame(
+        [("apple inc", 9.0), ("apple records", 4.0),
+         ("zebra records", 4.0), ("plain", 1.0)],
+        "entity_id: string, rank: double",
+    )
+    mentions = spark.createDataFrame(
+        [("apple",), ("records",), ("inc",), ("missing",)],
+        "mention: string",
+    )
+    got = {
+        r["mention"]: (r["entity_id"], r["n_candidates"])
+        for r in link_mentions(mentions, ranks).collect()
+    }
+    assert got == {
+        "apple": ("apple inc", 2),
+        "records": ("apple records", 2),  # 4.0 tie -> smaller id
+        "inc": ("apple inc", 1),
+    }

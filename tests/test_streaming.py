@@ -417,3 +417,63 @@ def test_stream_crawl_sessions_native_session_window(spark, tmp_path):
         .filter(F.col("count") > 1)
     )
     assert dupes.count() == 0
+
+
+def test_stream_edges_delta_compact_equals_batch_fuse(spark, tmp_path):
+    """Stage 3 (incremental edge-table maintenance): triples stream
+    into per-epoch FUSED deltas; compacting every delta must equal
+    fusing every mention at once (noisy-or associativity end-to-end
+    through the streaming path, two epochs deep)."""
+    from uie_pytorch_spark.kg.graph import fuse_triples
+    from uie_pytorch_spark.streaming import (
+        compact_edge_deltas,
+        stream_edges_delta,
+        stream_extract_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    tri = str(tmp_path / "tri")
+    deltas = str(tmp_path / "deltas")
+    ck1 = str(tmp_path / "ck1")
+    ck2 = str(tmp_path / "ck2")
+
+    w1 = fixture_web_pages(spark, n_docs=12, seed=44)
+    w1.write.mode("overwrite").parquet(inp)
+    stream_extract_dedup(spark, inp, tri, ck1, SCHEMA)
+    stream_edges_delta(spark, tri, deltas, ck2)
+
+    fresh = fixture_web_pages(spark, n_docs=40, seed=44).filter(
+        F.col("url").rlike("/page/3[0-9]$")
+    )
+    fresh.write.mode("append").parquet(inp)
+    stream_extract_dedup(spark, inp, tri, ck1, SCHEMA)
+    stream_edges_delta(spark, tri, deltas, ck2)
+
+    delta_rows = spark.read.parquet(deltas)
+    epochs = {r["epoch_id"] for r in delta_rows.select("epoch_id").collect()}
+    assert len(epochs) >= 2, "second wave should land as its own epoch"
+
+    compacted = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r
+        for r in compact_edge_deltas(spark, deltas).collect()
+    }
+    canon = spark.read.parquet(tri).select(
+        F.lower(F.trim("subj_text")).alias("subj_id"),
+        "pred",
+        F.lower(F.trim("obj_text")).alias("obj_id"),
+        "obj_prob",
+        "doc_id",
+    )
+    once = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r
+        for r in fuse_triples(canon).collect()
+    }
+    assert set(compacted) == set(once) and once
+    for k in once:
+        assert compacted[k]["n_mentions"] == once[k]["n_mentions"]
+        assert compacted[k]["n_docs"] == once[k]["n_docs"]
+        assert compacted[k]["max_prob"] == once[k]["max_prob"]
+        assert (
+            abs(compacted[k]["conf_noisy_or"] - once[k]["conf_noisy_or"])
+            < 1e-9
+        )

@@ -19,7 +19,7 @@ final combine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -298,6 +298,52 @@ def triangle_counts(
     )
     return corners.groupBy("entity_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    ranks: DataFrame,
+    mention_col: str = "mention",
+) -> DataFrame:
+    """Salience-prior entity linking: bind a bare mention token to the
+    most salient KG entity whose canonical surface contains it — the
+    'which apple?' disambiguation step between canonicalization and
+    triple attachment. Candidates are generated by an EQUI-join on the
+    exploded surface token (never a LIKE/contains theta-join, which
+    would be a broadcast-nested-loop at scale); the winner is the
+    argmax of the supplied salience score (e.g. kg.graph.pagerank)
+    with a deterministic entity-id tie-break.
+
+    ``mentions(mention)`` x ``ranks(entity_id, rank)`` ->
+    (mention, entity_id, rank, n_candidates). n_candidates counts the
+    ambiguity the prior resolved; mentions matching nothing drop out
+    (inner join) — route them to the LSH/fuzzy tier instead.
+
+    Shape: one explode (bounded by surface word count), one keyed
+    equi-join, one window pair on the mention key (single shuffle —
+    same partitioning serves the argmax and the candidate count). Hub
+    tokens ('inc', 'the') fan out linearly in their entity count; stop
+    them upstream with a document-frequency cap on the token table."""
+    toks = ranks.select(
+        "entity_id",
+        "rank",
+        F.explode(F.split(F.col("entity_id"), " ")).alias("__tok"),
+    ).distinct()  # a word repeated inside one surface matches once
+    cand = (
+        mentions.select(F.col(mention_col).alias("mention"))
+        .distinct()
+        .join(toks, F.col("mention") == F.col("__tok"))
+    )
+    by_mention = Window.partitionBy("mention")
+    w = by_mention.orderBy(F.col("rank").desc(), F.col("entity_id").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_candidates", F.count(F.lit(1)).over(by_mention).cast("long")
+        )
+        .filter(F.col("__rn") == 1)
+        .select("mention", "entity_id", "rank", "n_candidates")
     )
 
 

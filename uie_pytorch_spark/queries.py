@@ -2154,10 +2154,12 @@ def _kg_graph_edges(spark, sf_dir):
     return pr.unionByName(nr).unionByName(cn).unionByName(rr)
 
 
-def _pagerank_sql(iters: int) -> str:
-    """Unrolled fixed-iteration weighted PageRank (two CTEs per round:
-    gather contributions, apply damping) — the SQL rendering of
-    kg.graph.pagerank's join+groupBy algebra."""
+def _pagerank_ctes(iters: int) -> str:
+    """The CTE chain of the unrolled fixed-iteration weighted PageRank
+    (two CTEs per round: gather contributions, apply damping) — the
+    SQL rendering of kg.graph.pagerank's join+groupBy algebra. The
+    final rank relation is ``r{iters}(entity_id, pr)``; callers append
+    their own SELECT (and any further CTEs)."""
     out = [
         f"WITH e AS ({_KG_GRAPH_EDGES}),",
         """
@@ -2176,10 +2178,18 @@ def _pagerank_sql(iters: int) -> str:
                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
                       * coalesce(c{i}.c, CAST(0 AS DOUBLE)) AS pr
              FROM nodes n LEFT JOIN c{i} ON n.entity_id = c{i}.entity_id)""")
-    out.append(f"""
-    SELECT entity_id, CAST(round(pr * 1000000) AS BIGINT) AS rank_micro
-    FROM r{iters}""")
     return "".join(out)
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled PageRank as a standalone oracle query (ranks in exact
+    integer micro-units)."""
+    return (
+        _pagerank_ctes(iters)
+        + f"""
+    SELECT entity_id, CAST(round(pr * 1000000) AS BIGINT) AS rank_micro
+    FROM r{iters}"""
+    )
 
 
 def _khop_sql(k: int) -> str:
@@ -2673,6 +2683,60 @@ def kg_degree_histogram(spark, sf_dir):
     from .kg.graph import degree_histogram
 
     return degree_histogram(_kg_graph_edges(spark, sf_dir))
+
+
+@query(
+    "kg_link_mentions",
+    _pagerank_ctes(5)
+    + """,
+    pm AS (SELECT entity_id,
+                  CAST(round(pr * 1000000) AS BIGINT) AS rank_micro
+           FROM r5),
+    toks AS (SELECT DISTINCT pm.entity_id, pm.rank_micro, t.tok
+             FROM pm, unnest(string_split(pm.entity_id, ' ')) AS t(tok)),
+    cand AS (SELECT m.mention, toks.entity_id, toks.rank_micro
+             FROM (SELECT DISTINCT tok AS mention FROM toks) m
+             JOIN toks ON toks.tok = m.mention),
+    r AS (SELECT mention, entity_id, rank_micro,
+                 row_number() OVER (PARTITION BY mention
+                                    ORDER BY rank_micro DESC,
+                                             entity_id ASC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY mention) AS BIGINT)
+                   AS n_candidates
+          FROM cand)
+    SELECT mention, entity_id, rank_micro, n_candidates
+    FROM r WHERE rn = 1
+    """,
+)
+def kg_link_mentions(spark, sf_dir):
+    """Salience-prior entity linking (kg.graph.link_mentions): every
+    distinct surface token of the fixture KG's entities, bound to the
+    highest-PageRank entity containing it — ranks enter the argmax in
+    exact integer micro-units, so the cross-engine ordering can never
+    hinge on a float ulp."""
+    from .kg.graph import link_mentions, pagerank
+
+    ranks = pagerank(
+        _kg_graph_edges(spark, sf_dir),
+        iters=5,
+        damping=0.85,
+        src="src",
+        dst="dst",
+        weight="w",
+    )
+    pm = ranks.select(
+        "entity_id",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank"),
+    )
+    mentions = pm.select(
+        F.explode(F.split("entity_id", " ")).alias("mention")
+    )
+    return link_mentions(mentions, pm).select(
+        "mention",
+        "entity_id",
+        F.col("rank").alias("rank_micro"),
+        "n_candidates",
+    )
 
 
 # =====================================================================

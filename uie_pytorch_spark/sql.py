@@ -1078,6 +1078,35 @@ for _kg_q in (
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
 
+# kg_link_mentions is the one KG query whose oracle needs a dialect
+# twin: DuckDB explodes surface tokens via `unnest(string_split(..))`,
+# Spark via LATERAL VIEW explode(split(..)). Everything around the
+# explode is shared verbatim with the oracle text.
+from .queries import _pagerank_ctes as _pr_ctes  # noqa: E402
+
+SQL_QUERIES["kg_link_mentions"] = (
+    _pr_ctes(5)
+    + """,
+    pm AS (SELECT entity_id,
+                  CAST(round(pr * 1000000) AS BIGINT) AS rank_micro
+           FROM r5),
+    toks AS (SELECT DISTINCT entity_id, rank_micro, tok
+             FROM pm LATERAL VIEW explode(split(entity_id, ' ')) x AS tok),
+    cand AS (SELECT m.mention, toks.entity_id, toks.rank_micro
+             FROM (SELECT DISTINCT tok AS mention FROM toks) m
+             JOIN toks ON toks.tok = m.mention),
+    r AS (SELECT mention, entity_id, rank_micro,
+                 row_number() OVER (PARTITION BY mention
+                                    ORDER BY rank_micro DESC,
+                                             entity_id ASC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY mention) AS BIGINT)
+                   AS n_candidates
+          FROM cand)
+    SELECT mention, entity_id, rank_micro, n_candidates
+    FROM r WHERE rn = 1
+    """
+)
+
 
 def sql_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Run a named query through the SQL front door. Same result (and

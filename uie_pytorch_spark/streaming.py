@@ -331,6 +331,79 @@ def stream_triples_rollup(
     return query
 
 
+# fused edge-delta schema stream_edges_delta writes per epoch (the
+# kg.graph.fuse_triples output columns; epoch_id is the partition dir)
+EDGE_DELTA_SCHEMA = (
+    "subj_id string, pred string, obj_id string, n_mentions bigint,"
+    " n_docs bigint, max_prob double, conf_noisy_or double, epoch_id int"
+)
+
+
+def stream_edges_delta(
+    spark: SparkSession,
+    triples_path: str,
+    deltas_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+):
+    """Stage 3 of the incremental KG pipeline: fold the triple stream
+    that stage 1 (stream_extract_dedup) emits into per-epoch FUSED
+    edge deltas — each micro-batch is canonicalized (exact tier:
+    lower/trim surfaces) and collapsed to one noisy-or-fused row per
+    fact (kg.graph.fuse_triples), then written with the idempotent
+    per-epoch overwrite, so a replayed epoch replaces its own delta
+    instead of double-counting evidence.
+
+    The standing edge table is NEVER read-modify-written inside the
+    stream (a foreachBatch that reads its own output races with
+    replays); deltas accumulate append-only and
+    ``compact_edge_deltas`` folds them on demand. Because noisy-or
+    fusion is associative and commutative (see kg.maintain.merge_all),
+    compact(deltas) == fuse-all-at-once over every mention ever
+    streamed — incrementality costs no correctness."""
+    tri = (
+        spark.readStream.schema(TRIPLES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(triples_path)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from .kg.graph import fuse_triples
+
+        canon = batch_df.select(
+            F.lower(F.trim("subj_text")).alias("subj_id"),
+            "pred",
+            F.lower(F.trim("obj_text")).alias("obj_id"),
+            "obj_prob",
+            "doc_id",
+        )
+        _write_epoch(fuse_triples(canon), deltas_path, epoch_id)
+
+    query = (
+        tri.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def compact_edge_deltas(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """Fold every per-epoch fused delta under ``deltas_path`` into the
+    standing KG edge table — ONE combinable groupBy over the delta
+    rows (kg.maintain.merge_all), equal to having fused every mention
+    at once. Run it on whatever cadence the serving layer wants a
+    fresh graph; at web scale this is the compaction job, reading
+    fused rows (facts), never the raw mentions."""
+    from .kg.maintain import merge_all
+
+    return merge_all(spark.read.parquet(deltas_path).drop("epoch_id"))
+
+
 def stream_crawl_sessions(
     spark: SparkSession,
     input_path: str,
