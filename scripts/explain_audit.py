@@ -241,6 +241,44 @@ def main():
          plan_of(TS.salted_group_stats(docs_full)))
     )
 
+    # 12. incremental KG delta-merge: union + ONE combinable groupBy,
+    # never a full-outer join of base against delta
+    sections.append(
+        ("kg_merge_delta (standing edge table + delta batch fold)",
+         "Expect the two fused batches to meet in a Union feeding ONE "
+         "HashAggregate pair (partial below the Exchange, final above) "
+         "keyed (subj_id, pred, obj_id) — NO SortMergeJoin/full-outer "
+         "of base vs delta: a 10^10-edge base folds a delta by moving "
+         "one partial row per touched fact.",
+         plan_of(QUERIES["kg_merge_delta"](spark, SF)))
+    )
+
+    # 13. entity linking: explode + equi-join candidates, single
+    # window shuffle — never a LIKE/contains theta-join
+    sections.append(
+        ("kg_link_mentions (token equi-join candidates + salience argmax)",
+         "Expect candidate generation as an EQUI-join of the mention "
+         "set against Generate(explode)-ed surface tokens (no "
+         "BroadcastNestedLoopJoin — the plan a contains()/LIKE join "
+         "degenerates to), then ONE Exchange on `mention` shared by "
+         "the row_number argmax and the candidate count (same Window "
+         "partitioning).",
+         plan_of(QUERIES["kg_link_mentions"](spark, SF)))
+    )
+
+    # 14. co-occurrence PMI: doc-key self equi-join, combinable pair
+    # groupBy, marginals broadcast back
+    sections.append(
+        ("kg_cooccurrence_pmi (incidence self-join -> pair groupBy -> broadcast marginals)",
+         "Expect the pair generation as an EQUI-join on the document "
+         "key (a < b as a post-join Filter), ONE partial-aggregated "
+         "HashAggregate on (a, b), and the marginal counts + corpus "
+         "total joining back as BroadcastHashJoins / the 1-row "
+         "broadcast-scalar BNLJ — the big incidence table is never "
+         "shuffled more than twice (join key + pair key).",
+         plan_of(QUERIES["kg_cooccurrence_pmi"](spark, SF)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"
