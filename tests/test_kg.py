@@ -467,6 +467,37 @@ def test_entity_types_majority_and_tiebreak(spark):
     assert got["c1"] == ("city", 2)
 
 
+def test_constraint_violations_functional_preds(spark):
+    from uie_pytorch_spark.kg.maintain import constraint_violations
+
+    t = spark.createDataFrame(
+        [
+            # s1 violates 'born-in' (2 distinct objects, one repeated)
+            ("s1", "born-in", "paris"),
+            ("s1", "born-in", "lyon"),
+            ("s1", "born-in", "paris"),
+            # s2 is clean (same object twice)
+            ("s2", "born-in", "rome"),
+            ("s2", "born-in", "rome"),
+            # s1 has many 'visited' objects but it's not functional
+            ("s1", "visited", "rome"),
+            ("s1", "visited", "oslo"),
+            ("s1", "visited", "bern"),
+        ],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    out = constraint_violations(t, ["born-in"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["subj_id"], r["pred"]) == ("s1", "born-in")
+    assert r["n_objects"] == 2
+    assert (r["obj_min"], r["obj_max"]) == ("lyon", "paris")
+
+    # two functional predicates at once; empty violation set is empty DF
+    none = constraint_violations(t, ["unused-pred"]).collect()
+    assert none == []
+
+
 def test_degree_histogram_buckets_exact(spark):
     """Star a-{b..e} plus b-c: deg(a)=4 -> bucket 2; deg(b)=deg(c)=2
     -> bucket 1; deg(d)=deg(e)=1 -> bucket 0. Direction-blind and

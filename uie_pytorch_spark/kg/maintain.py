@@ -137,6 +137,33 @@ def relation_compose(
     )
 
 
+def constraint_violations(
+    triples: DataFrame, functional_preds: list[str]
+) -> DataFrame:
+    """Ontology integrity check: for predicates declared FUNCTIONAL
+    (at most one object per subject — 'born-in', 'headquartered-in'),
+    report every violating subject with its distinct-object count and
+    the min/max objects as a deterministic sample of the conflict —
+    the signal that routes a fact to human review or to
+    confidence-weighted resolution (snapshot_latest / fuse_triples
+    max_prob) instead of silently shipping a contradiction.
+
+    Shape: a pushed-down predicate filter (reaches the scan) -> ONE
+    map-side-combinable groupBy on (subject, predicate) -> HAVING.
+    Linear in the filtered edges at any scale; the output is bounded
+    by the violation count, not the corpus."""
+    f = triples.filter(F.col("pred").isin(list(functional_preds)))
+    return (
+        f.groupBy("subj_id", "pred")
+        .agg(
+            F.countDistinct("obj_id").cast("long").alias("n_objects"),
+            F.min("obj_id").alias("obj_min"),
+            F.max("obj_id").alias("obj_max"),
+        )
+        .filter(F.col("n_objects") > 1)
+    )
+
+
 def entity_types(triples: DataFrame, signatures: DataFrame) -> DataFrame:
     """Type induction from predicate signatures: each predicate carries
     a (subj_type, obj_type) contract — ``signatures(pred, subj_type,

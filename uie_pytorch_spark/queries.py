@@ -2686,6 +2686,51 @@ def kg_degree_histogram(spark, sf_dir):
 
 
 @query(
+    "kg_constraint_violations",
+    """
+    WITH t AS (
+      SELECT CAST(o_custkey AS BIGINT) AS subj_id,
+             'has-status' AS pred,
+             o_orderstatus AS obj_id
+      FROM orders
+      UNION ALL
+      SELECT CAST(o_custkey AS BIGINT), 'placed-order',
+             CAST(o_orderkey AS STRING)
+      FROM orders
+    )
+    SELECT subj_id, pred,
+           CAST(count(DISTINCT obj_id) AS BIGINT) AS n_objects,
+           min(obj_id) AS obj_min, max(obj_id) AS obj_max
+    FROM t WHERE pred IN ('has-status')
+    GROUP BY subj_id, pred
+    HAVING count(DISTINCT obj_id) > 1
+    """,
+)
+def kg_constraint_violations(spark, sf_dir):
+    """Ontology integrity (kg.maintain.constraint_violations): treat
+    'has-status' as a FUNCTIONAL predicate over a triple view of
+    orders — customers asserting more than one distinct status are
+    contradictions routed to review. The non-functional
+    'placed-order' edges in the same table prove the predicate filter
+    prunes before the aggregate."""
+    from .kg.maintain import constraint_violations
+
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.col("o_custkey").cast("long").alias("subj_id"),
+        F.lit("has-status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+    ).unionByName(
+        o.select(
+            F.col("o_custkey").cast("long").alias("subj_id"),
+            F.lit("placed-order").alias("pred"),
+            F.col("o_orderkey").cast("string").alias("obj_id"),
+        )
+    )
+    return constraint_violations(t, ["has-status"])
+
+
+@query(
     "kg_link_mentions",
     _pagerank_ctes(5)
     + """,

@@ -1074,6 +1074,7 @@ for _kg_q in (
     "kg_relation_compose",
     "kg_entity_types",
     "kg_degree_histogram",
+    "kg_constraint_violations",
 ):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
