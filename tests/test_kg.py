@@ -540,3 +540,49 @@ def test_link_mentions_salience_argmax(spark):
         "records": ("apple records", 2),  # 4.0 tie -> smaller id
         "inc": ("apple inc", 1),
     }
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge converge (fixed point at 3
+    rounds) to exactly two communities split at the bridge — each
+    bridge endpoint sees 2 in-clique neighbors vs 1 across, so the
+    communities never merge. Labels are asserted as a partition, not
+    by value: synchronous LPA legitimately carries a bridged-in label
+    ('c' crosses into the x-triangle in round 1) before settling."""
+    from uie_pytorch_spark.kg.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"),
+         ("c", "x")],
+        "src: string, dst: string",
+    )
+    got = {
+        r["entity_id"]: r["community"]
+        for r in label_propagation(
+            edges, iters=3, src="src", dst="dst"
+        ).collect()
+    }
+    parts = {}
+    for node, lbl in got.items():
+        parts.setdefault(lbl, set()).add(node)
+    assert sorted(map(sorted, parts.values())) == [
+        ["a", "b", "c"], ["x", "y", "z"]
+    ]
+
+
+def test_label_propagation_star_adopts_hub_min_tiebreak(spark):
+    """Star m-{p,q,r}: leaves adopt the hub's label in round 1; the
+    hub sees three distinct labels (count 1 each) and takes the MIN —
+    deterministic tie-break, self-loops and duplicates ignored."""
+    from uie_pytorch_spark.kg.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("m", "p"), ("m", "q"), ("m", "r"), ("m", "m"), ("p", "m")],
+        "src: string, dst: string",
+    )
+    got = {
+        r["entity_id"]: r["community"]
+        for r in label_propagation(edges, iters=1, src="src", dst="dst").collect()
+    }
+    assert got == {"m": "p", "p": "m", "q": "m", "r": "m"}

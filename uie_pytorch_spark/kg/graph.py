@@ -426,3 +426,56 @@ def degree_histogram(
             F.max("degree").cast("long").alias("max_degree"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected KG — the cheap clustering that groups a canonical
+    entity with the entities it co-asserts facts with (topic blocks
+    for partition routing, candidate pools for linking). Labels start
+    as the entity's own id; each round every node adopts the most
+    frequent label among its neighbors, ties broken by MIN label —
+    fully deterministic, so the same fixed unrolling runs as a SQL
+    oracle (unlike classic randomized LPA).
+
+    Scale shape per round: ONE equi-join of the symmetric neighbor
+    table against the label vector (keyed on the neighbor), ONE
+    map-side-combinable (node, label) count, ONE per-node window for
+    the argmax — all shuffles keyed on entity ids; the label vector
+    stays (entity_id, label) narrow. Fixed shallow ``iters`` keeps
+    the lineage a single lazy DAG; checkpoint every ~10 rounds for
+    deep runs on a real cluster."""
+    nbr = (
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("v"), F.col(src).alias("nbr"))
+        )
+        .filter(F.col("v") != F.col("nbr"))
+        .distinct()
+    )
+    labels = nbr.select(F.col("v").alias("entity_id")).distinct().select(
+        "entity_id", F.col("entity_id").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        counts = (
+            nbr.join(
+                labels.select(
+                    F.col("entity_id").alias("nbr"), "label"
+                ),
+                "nbr",
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("entity_id"), "label")
+        )
+    return labels.select("entity_id", F.col("label").alias("community"))

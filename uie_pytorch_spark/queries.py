@@ -1241,6 +1241,134 @@ def doc_fingerprint(spark, sf_dir):
 
 
 # =====================================================================
+# lexical retrieval (operators/search.py): TF-IDF keywords, BM25,
+# positional inverted-index phrase match
+# =====================================================================
+
+# shared token CTE (same rule as unigram_logprob: lowercased alnum runs)
+_SEARCH_TOKS = """
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+"""
+
+
+@query(
+    "tf_idf_top_terms",
+    f"""
+    WITH toks AS ({_SEARCH_TOKS}),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             t.tf * (ln(CAST((SELECT n_corpus FROM n) + 1 AS DOUBLE)
+                        / CAST(d.df + 1 AS DOUBLE)) + 1.0) AS tf_idf
+      FROM tf t JOIN df d ON t.tok = d.tok
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df,
+           CAST(tf_idf AS DOUBLE) AS tf_idf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tf_idf DESC, tok) AS rank
+          FROM scored) s
+    WHERE rank <= 5
+    """,
+)
+def tf_idf_top_terms(spark, sf_dir):
+    """Per-doc top-5 keywords by smoothed TF-IDF
+    (operators/search.py): corpus N enters as a broadcast scalar,
+    df aggregates the (doc, term) table — two combinable groupBys
+    plus one per-doc window."""
+    from .operators.search import tf_idf_top_terms as op
+
+    return op(_t(spark, sf_dir, "documents"), k=5)
+
+
+_BM25_TERMS = ("table", "hash", "vector", "stream")
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH toks AS ({_SEARCH_TOKS}),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN {_BM25_TERMS!r}
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY tok),
+    idf AS (
+      SELECT tok,
+             ln(1.0 + (CAST((SELECT n_corpus FROM stats) AS DOUBLE)
+                       - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5)) AS idf
+      FROM df
+    ),
+    per AS (
+      SELECT t.doc_id,
+             i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * CAST(d.dl AS DOUBLE)
+                           / (SELECT avgdl FROM stats))) AS s
+      FROM tf t JOIN idf i ON t.tok = i.tok
+                JOIN dl d ON t.doc_id = d.doc_id
+    ),
+    scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                      sum(s) AS score
+               FROM per GROUP BY doc_id)
+    SELECT CAST(rank AS INT) AS rank, doc_id, n_terms_hit,
+           CAST(score AS DOUBLE) AS score
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS rank
+          FROM scored) s
+    WHERE rank <= 10
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a fixed bag-of-terms query
+    (operators/search.py): token stream filtered to the query's
+    terms BEFORE the tf agg (postings-proportional), N/avgdl as a
+    broadcast one-row join."""
+    from .operators.search import bm25_topk as op
+
+    return op(_t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
+
+
+@query(
+    "phrase_match_positions",
+    """
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      FROM documents
+    )
+    SELECT a.doc_id, CAST(a.pos AS INT) AS start_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'hash'
+    """,
+)
+def phrase_match_positions(spark, sf_dir):
+    """Exact phrase occurrences ('table hash') via the positional
+    inverted index (operators/search.py): per-term postings
+    equi-joined on (doc_id, pos+gap) — a hash join per phrase gap,
+    no window, no theta-join."""
+    from .operators.search import phrase_match
+
+    return phrase_match(_t(spark, sf_dir, "documents"), "table hash")
+
+
+# =====================================================================
 # similarity / ANN (embeddings)
 # =====================================================================
 
@@ -2728,6 +2856,50 @@ def kg_constraint_violations(spark, sf_dir):
         )
     )
     return constraint_violations(t, ["has-status"])
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled deterministic label propagation: per round, count
+    neighbor labels and adopt the most frequent (ties -> MIN label) —
+    kg.graph.label_propagation's exact shape as a standalone oracle."""
+    out = [
+        f"WITH e0 AS ({_KG_GRAPH_EDGES}),",
+        """
+    nbr AS (SELECT DISTINCT v, nbr FROM (
+              SELECT src AS v, dst AS nbr FROM e0
+              UNION ALL
+              SELECT dst AS v, src AS nbr FROM e0) u
+            WHERE v <> nbr),
+    l0 AS (SELECT DISTINCT v AS entity_id, v AS label FROM nbr)""",
+    ]
+    for i in range(1, iters + 1):
+        out.append(f""",
+    c{i} AS (SELECT n.v, l.label, count(*) AS cnt
+             FROM nbr n JOIN l{i - 1} l ON n.nbr = l.entity_id
+             GROUP BY n.v, l.label),
+    l{i} AS (SELECT v AS entity_id, label FROM (
+               SELECT v, label,
+                      row_number() OVER (PARTITION BY v
+                                         ORDER BY cnt DESC, label) AS rn
+               FROM c{i}) r WHERE rn = 1)""")
+    out.append(f"""
+    SELECT entity_id, label AS community FROM l{iters}""")
+    return "".join(out)
+
+
+@query("kg_community_labels", _lpa_sql(2))
+def kg_community_labels(spark, sf_dir):
+    """Community detection over the fixture KG via 2-round
+    deterministic synchronous label propagation
+    (kg.graph.label_propagation): most-frequent neighbor label,
+    ties to MIN — topic blocks for partition routing and linking
+    candidate pools. Per round: one keyed join + one combinable
+    (node, label) count + one per-node window."""
+    from .kg.graph import label_propagation
+
+    return label_propagation(
+        _kg_graph_edges(spark, sf_dir), iters=2, src="src", dst="dst"
+    )
 
 
 @query(

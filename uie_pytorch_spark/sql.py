@@ -1108,6 +1108,99 @@ SQL_QUERIES["kg_link_mentions"] = (
     """
 )
 
+# community detection: the unrolled LPA oracle is dialect-neutral
+# (joins + windows only), shared verbatim like the other KG queries
+from .queries import _lpa_sql as _lpa  # noqa: E402
+
+SQL_QUERIES["kg_community_labels"] = _lpa(2)
+
+# lexical retrieval tier: dialect twins of the search oracles — the
+# only differences are unnest -> LATERAL VIEW (pos)explode and
+# generate_subscripts -> posexplode's 0-based index + 1
+_SEARCH_TOKS_SPARK = """
+      SELECT doc_id, tok
+      FROM documents
+      LATERAL VIEW explode(
+        regexp_extract_all(lower(text), '[a-z0-9]+', 0)) g AS tok
+"""
+
+SQL_QUERIES["tf_idf_top_terms"] = f"""
+    WITH toks AS ({_SEARCH_TOKS_SPARK}),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             t.tf * (ln(CAST((SELECT n_corpus FROM n) + 1 AS DOUBLE)
+                        / CAST(d.df + 1 AS DOUBLE)) + 1.0) AS tf_idf
+      FROM tf t JOIN df d ON t.tok = d.tok
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df,
+           CAST(tf_idf AS DOUBLE) AS tf_idf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tf_idf DESC, tok) AS rank
+          FROM scored) s
+    WHERE rank <= 5
+"""
+
+from .queries import _BM25_TERMS as _BM25  # noqa: E402
+
+SQL_QUERIES["bm25_topk"] = f"""
+    WITH toks AS ({_SEARCH_TOKS_SPARK}),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN {_BM25!r}
+           GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY tok),
+    idf AS (
+      SELECT tok,
+             ln(1.0 + (CAST((SELECT n_corpus FROM stats) AS DOUBLE)
+                       - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5)) AS idf
+      FROM df
+    ),
+    per AS (
+      SELECT t.doc_id,
+             i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * CAST(d.dl AS DOUBLE)
+                           / (SELECT avgdl FROM stats))) AS s
+      FROM tf t JOIN idf i ON t.tok = i.tok
+                JOIN dl d ON t.doc_id = d.doc_id
+    ),
+    scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                      sum(s) AS score
+               FROM per GROUP BY doc_id)
+    SELECT CAST(rank AS INT) AS rank, doc_id, n_terms_hit,
+           CAST(score AS DOUBLE) AS score
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS rank
+          FROM scored) s
+    WHERE rank <= 10
+"""
+
+SQL_QUERIES["phrase_match_positions"] = """
+    WITH pos AS (
+      SELECT doc_id, pos0 + 1 AS pos, tok
+      FROM documents
+      LATERAL VIEW posexplode(
+        regexp_extract_all(lower(text), '[a-z0-9]+', 0)) g AS pos0, tok
+    )
+    SELECT a.doc_id, CAST(a.pos AS INT) AS start_pos
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'hash'
+"""
+
 
 def sql_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Run a named query through the SQL front door. Same result (and
