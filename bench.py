@@ -452,6 +452,27 @@ def main():
             for c in (small, big):
                 _take_sample(st, c, deadline, require_quiet=False)
 
+        # --- phase 1b: anomaly repair. A 4N-core run reading SLOWER
+        # than the N-core run on the same input is physically
+        # impossible for this job absent interference (observed: a
+        # local32 window at 79.7 s whose immediate repeat read 25.1 s
+        # — a neighbor burst that idled between the 1-s steal probes,
+        # so the window was labeled "mixed"). Such a reading gets ONE
+        # prioritized re-take of the slow side before any quiet-tier
+        # repair budget is spent; if it stands, the output labels the
+        # pair "anomalous" rather than letting a plausible-looking
+        # weather tag dress up an impossible ratio.
+        for st in states:
+            small, big = st["small"], st["big"]
+            if not (st["samples"][small] and st["samples"][big]):
+                continue
+            t_s = min(t for t, _ in st["samples"][small])
+            t_b = min(t for t, _ in st["samples"][big])
+            if t_b >= t_s and time.monotonic() < deadline - (
+                st["cost"][big] or 150.0
+            ):
+                _take_sample(st, big, deadline, require_quiet=False)
+
         # --- phase 2: quiet-gated repair, primary pair first. Pick the
         # first side (in pair priority order) whose quiet-tier evidence
         # is below target and probe for a lull before each resample; a
@@ -512,8 +533,14 @@ def main():
                 # NO window under 15% steal/busy — treat the ratio as
                 # weather-distorted (a contended SMALL side inflates
                 # it, a contended BIG side deflates it)
+                # "anomalous" overrides the steal-based label when the
+                # 4N side reads no faster than the N side — impossible
+                # for this job absent interference the steal probes
+                # missed; treat the ratio as untrusted
                 "weather_quality": (
-                    "clean"
+                    "anomalous"
+                    if times[big] >= times[small]
+                    else "clean"
                     if max(tiers[small], tiers[big]) <= _CLEAN_TIERS[0]
                     else "mixed"
                     if max(tiers[small], tiers[big]) <= _CLEAN_TIERS[1]

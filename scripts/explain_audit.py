@@ -279,6 +279,46 @@ def main():
          plan_of(QUERIES["kg_cooccurrence_pmi"](spark, SF)))
     )
 
+    # 15. BM25: query-term filter pushed below the tf agg, corpus
+    # scalars as 1-row broadcasts, global top-k WITHOUT a global window
+    sections.append(
+        ("bm25_topk (postings-proportional scoring -> TakeOrderedAndProject top-k)",
+         "Expect the tok IN (...) Filter BELOW the (doc, tok) "
+         "HashAggregate (postings-proportional cost), the N/avgdl "
+         "one-row aggregate entering via a broadcast-scalar BNLJ, the "
+         "per-doc dl table joining back as a hash join, and the "
+         "global top-k as TakeOrderedAndProject — NOT a Window with "
+         "no partitioning (which would drain every scored doc to one "
+         "partition). The only Window in the plan ranks the k "
+         "surviving rows.",
+         plan_of(QUERIES["bm25_topk"](spark, SF)))
+    )
+
+    # 16. LPA communities: per-round keyed join + combinable count +
+    # per-node window, label vector stays narrow
+    sections.append(
+        ("kg_community_labels (2-round label propagation)",
+         "Expect per round exactly ONE join of the symmetric neighbor "
+         "table against the label vector (keyed on the neighbor), ONE "
+         "partial-aggregated HashAggregate on (v, label), and ONE "
+         "Window partitioned by v (WindowGroupLimit for the rn=1 "
+         "argmax) — no cartesian, no global window, shuffles keyed on "
+         "entity ids only.",
+         plan_of(QUERIES["kg_community_labels"](spark, SF)))
+    )
+
+    # 17. snapshot diff: tag+union+one combinable groupBy, never a
+    # full-outer join
+    sections.append(
+        ("kg_snapshot_diff (CDC between two snapshots as union + ONE groupBy)",
+         "Expect the two snapshot windows (WindowGroupLimit each, "
+         "keyed on (subj, pred)) flowing into a Union and ONE "
+         "partial-aggregated HashAggregate on the fact key — no "
+         "full-outer SortMergeJoin anywhere; the changed/added/removed "
+         "classification is a post-aggregate projection.",
+         plan_of(QUERIES["kg_snapshot_diff"](spark, SF)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"

@@ -586,3 +586,27 @@ def test_label_propagation_star_adopts_hub_min_tiebreak(spark):
         for r in label_propagation(edges, iters=1, src="src", dst="dst").collect()
     }
     assert got == {"m": "p", "p": "m", "q": "m", "r": "m"}
+
+
+def test_snapshot_diff_three_change_classes(spark):
+    """added (key only in new), removed (key only in old), changed
+    (object differs); unchanged facts are dropped."""
+    from uie_pytorch_spark.kg.maintain import snapshot_diff
+
+    olds = spark.createDataFrame(
+        [("s1", "p", "x"), ("s2", "p", "y"), ("s3", "p", "z")],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    news = spark.createDataFrame(
+        [("s1", "p", "x"), ("s2", "p", "Y2"), ("s4", "p", "w")],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    got = {
+        (r["subj_id"], r["pred"]): (r["change"], r["old_obj"], r["new_obj"])
+        for r in snapshot_diff(olds, news).collect()
+    }
+    assert got == {
+        ("s2", "p"): ("changed", "y", "Y2"),
+        ("s3", "p"): ("removed", "z", None),
+        ("s4", "p"): ("added", None, "w"),
+    }

@@ -197,3 +197,64 @@ def entity_types(triples: DataFrame, signatures: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """Change-data-capture between two graph snapshots: which facts
+    were added, removed, or changed their object between 'what the
+    graph believed then' and 'what it believes now' — the audit/
+    notification feed a maintained KG publishes per recrawl cycle.
+    Inputs must be snapshots (at most one row per (subject,
+    predicate), e.g. from ``snapshot_latest``); unchanged facts are
+    dropped.
+
+    Shape: tag + union + ONE map-side-combinable groupBy on the fact
+    key — never a full-outer join (a full-outer of two 10^11-edge
+    snapshots shuffles both sides anyway, but the union+groupBy form
+    keeps the comparison inside ONE combinable aggregate and emits
+    only the differing keys). Output is bounded by the churn, not the
+    graph size."""
+    o = old.select(
+        F.col(subj).alias("subj_id"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("__obj"),
+        F.lit("o").alias("__side"),
+    )
+    n = new.select(
+        F.col(subj).alias("subj_id"),
+        F.col(pred).alias("pred"),
+        F.col(obj).alias("__obj"),
+        F.lit("n").alias("__side"),
+    )
+    agg = (
+        o.unionByName(n)
+        .groupBy("subj_id", "pred")
+        .agg(
+            F.max(
+                F.when(F.col("__side") == "o", F.col("__obj"))
+            ).alias("old_obj"),
+            F.max(
+                F.when(F.col("__side") == "n", F.col("__obj"))
+            ).alias("new_obj"),
+        )
+    )
+    return agg.filter(
+        F.col("old_obj").isNull()
+        | F.col("new_obj").isNull()
+        | (F.col("old_obj") != F.col("new_obj"))
+    ).select(
+        "subj_id",
+        "pred",
+        F.when(F.col("old_obj").isNull(), F.lit("added"))
+        .when(F.col("new_obj").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        "old_obj",
+        "new_obj",
+    )

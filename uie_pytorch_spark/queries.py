@@ -2647,6 +2647,75 @@ def kg_snapshot_latest(spark, sf_dir):
     return snapshot_latest(t)
 
 
+@query(
+    "kg_snapshot_diff",
+    """
+    WITH t AS (
+      SELECT CAST(o_custkey AS BIGINT) AS subj_id,
+             'latest_status' AS pred,
+             o_orderstatus AS obj_id,
+             o_orderdate AS ts
+      FROM orders
+    ),
+    olds AS (
+      SELECT subj_id, pred, obj_id FROM (
+        SELECT subj_id, pred, obj_id,
+               row_number() OVER (PARTITION BY subj_id, pred
+                                  ORDER BY ts DESC, obj_id DESC) AS rn
+        FROM t WHERE ts < TIMESTAMP '1998-01-01') r
+      WHERE rn = 1
+    ),
+    news AS (
+      SELECT subj_id, pred, obj_id FROM (
+        SELECT subj_id, pred, obj_id,
+               row_number() OVER (PARTITION BY subj_id, pred
+                                  ORDER BY ts DESC, obj_id DESC) AS rn
+        FROM t WHERE ts >= TIMESTAMP '1997-01-01') r
+      WHERE rn = 1
+    ),
+    u AS (
+      SELECT subj_id, pred, obj_id, 'o' AS side FROM olds
+      UNION ALL
+      SELECT subj_id, pred, obj_id, 'n' AS side FROM news
+    ),
+    agg AS (
+      SELECT subj_id, pred,
+             max(CASE WHEN side = 'o' THEN obj_id END) AS old_obj,
+             max(CASE WHEN side = 'n' THEN obj_id END) AS new_obj
+      FROM u GROUP BY subj_id, pred
+    )
+    SELECT subj_id, pred,
+           CASE WHEN old_obj IS NULL THEN 'added'
+                WHEN new_obj IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           old_obj, new_obj
+    FROM agg
+    WHERE old_obj IS NULL OR new_obj IS NULL OR old_obj <> new_obj
+    """,
+)
+def kg_snapshot_diff(spark, sf_dir):
+    """Snapshot change-data-capture (kg.maintain.snapshot_diff):
+    added / removed / changed facts between the graph's belief state
+    at two recrawl cutoffs — two keyed snapshot windows diffed by one
+    tag+union+combinable groupBy, never a full-outer join; output
+    bounded by the churn."""
+    from .kg.maintain import snapshot_diff, snapshot_latest
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("subj_id"),
+        F.lit("latest_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    olds = snapshot_latest(
+        t.filter(F.col("ts") < F.lit("1998-01-01").cast("timestamp"))
+    ).drop("ts")
+    news = snapshot_latest(
+        t.filter(F.col("ts") >= F.lit("1997-01-01").cast("timestamp"))
+    ).drop("ts")
+    return snapshot_diff(olds, news)
+
+
 # Pred-labeled KG edges for the composition / typing tier: the fixture
 # graph of _KG_GRAPH_EDGES with its predicates kept.
 _KG_PRED_EDGES = """

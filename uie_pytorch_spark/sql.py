@@ -1075,6 +1075,7 @@ for _kg_q in (
     "kg_entity_types",
     "kg_degree_histogram",
     "kg_constraint_violations",
+    "kg_snapshot_diff",
 ):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
