@@ -2927,12 +2927,15 @@ def kg_constraint_violations(spark, sf_dir):
     return constraint_violations(t, ["has-status"])
 
 
-def _lpa_sql(iters: int) -> str:
-    """Unrolled deterministic label propagation: per round, count
-    neighbor labels and adopt the most frequent (ties -> MIN label) —
-    kg.graph.label_propagation's exact shape as a standalone oracle."""
+def _lpa_ctes(iters: int) -> str:
+    """CTE fragment of the unrolled deterministic label propagation:
+    per round, count neighbor labels and adopt the most frequent
+    (ties -> MIN label) — kg.graph.label_propagation's exact shape.
+    Expects a relation ``e0(src, dst)`` in scope; the final label
+    relation is ``l{iters}(entity_id, label)``. Count CTEs are named
+    ``lc{i}`` so the fragment composes with _pagerank_ctes (which
+    owns ``c{i}``)."""
     out = [
-        f"WITH e0 AS ({_KG_GRAPH_EDGES}),",
         """
     nbr AS (SELECT DISTINCT v, nbr FROM (
               SELECT src AS v, dst AS nbr FROM e0
@@ -2943,17 +2946,24 @@ def _lpa_sql(iters: int) -> str:
     ]
     for i in range(1, iters + 1):
         out.append(f""",
-    c{i} AS (SELECT n.v, l.label, count(*) AS cnt
-             FROM nbr n JOIN l{i - 1} l ON n.nbr = l.entity_id
-             GROUP BY n.v, l.label),
+    lc{i} AS (SELECT n.v, l.label, count(*) AS cnt
+              FROM nbr n JOIN l{i - 1} l ON n.nbr = l.entity_id
+              GROUP BY n.v, l.label),
     l{i} AS (SELECT v AS entity_id, label FROM (
                SELECT v, label,
                       row_number() OVER (PARTITION BY v
                                          ORDER BY cnt DESC, label) AS rn
-               FROM c{i}) r WHERE rn = 1)""")
-    out.append(f"""
-    SELECT entity_id, label AS community FROM l{iters}""")
+               FROM lc{i}) r WHERE rn = 1)""")
     return "".join(out)
+
+
+def _lpa_sql(iters: int) -> str:
+    """Standalone oracle query for label propagation over the fixture
+    KG."""
+    return (
+        f"WITH e0 AS ({_KG_GRAPH_EDGES})," + _lpa_ctes(iters) + f"""
+    SELECT entity_id, label AS community FROM l{iters}"""
+    )
 
 
 @query("kg_community_labels", _lpa_sql(2))
@@ -2968,6 +2978,60 @@ def kg_community_labels(spark, sf_dir):
 
     return label_propagation(
         _kg_graph_edges(spark, sf_dir), iters=2, src="src", dst="dst"
+    )
+
+
+@query(
+    "kg_entity_profile",
+    _pagerank_ctes(5)
+    + ",\n    e0 AS (SELECT src, dst FROM e),"
+    + _lpa_ctes(2)
+    + """,
+    deg AS (SELECT v AS entity_id, CAST(count(*) AS BIGINT) AS degree
+            FROM nbr GROUP BY v)
+    SELECT r5.entity_id,
+           CAST(round(r5.pr * 1000000) AS BIGINT) AS rank_micro,
+           l2.label AS community,
+           deg.degree
+    FROM r5 JOIN l2 ON r5.entity_id = l2.entity_id
+            JOIN deg ON r5.entity_id = deg.entity_id
+    """,
+)
+def kg_entity_profile(spark, sf_dir):
+    """The materialized per-entity vertices table a property-graph
+    export ships: PageRank salience (integer micro-units) + label-
+    propagation community + distinct-neighbor degree, one row per
+    entity — three reusable graph operators composed by two keyed
+    equi-joins on entity_id (the rank vector, label vector, and
+    degree table are all (entity_id, value) narrow, so AQE broadcasts
+    the small sides at fixture scale and the joins stay keyed at any
+    scale)."""
+    from .kg.graph import label_propagation, pagerank
+
+    edges = _kg_graph_edges(spark, sf_dir)
+    pr = pagerank(edges, iters=5, damping=0.85, src="src", dst="dst",
+                  weight="w")
+    com = label_propagation(edges, iters=2, src="src", dst="dst")
+    nbr = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
+        )
+        .filter(F.col("v") != F.col("nbr"))
+        .distinct()
+    )
+    deg = nbr.groupBy(F.col("v").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        pr.join(com, "entity_id")
+        .join(deg, "entity_id")
+        .select(
+            "entity_id",
+            F.round(F.col("rank") * 1000000).cast("long").alias("rank_micro"),
+            "community",
+            "degree",
+        )
     )
 
 

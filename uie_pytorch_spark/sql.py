@@ -1076,6 +1076,7 @@ for _kg_q in (
     "kg_degree_histogram",
     "kg_constraint_violations",
     "kg_snapshot_diff",
+    "kg_entity_profile",
 ):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
