@@ -610,3 +610,47 @@ def test_snapshot_diff_three_change_classes(spark):
         ("s3", "p"): ("removed", "z", None),
         ("s4", "p"): ("added", None, "w"),
     }
+
+
+def test_node_similarity_square_graph(spark):
+    """Square a-b-c-d-a: opposite corners share BOTH neighbors
+    (jaccard 1.0); adjacent corners share none and are absent."""
+    from uie_pytorch_spark.kg.graph import node_similarity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src: string, dst: string",
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]):
+            (r["n_common"], r["degree_a"], r["degree_b"], r["jaccard"])
+        for r in node_similarity(
+            edges, min_common=2, src="src", dst="dst"
+        ).collect()
+    }
+    assert got == {
+        ("a", "c"): (2, 2, 2, 1.0),
+        ("b", "d"): (2, 2, 2, 1.0),
+    }
+
+
+def test_node_similarity_min_common_gate(spark):
+    """min_common prunes single-shared-neighbor pairs; a shared hub
+    gives every leaf pair exactly one common neighbor."""
+    from uie_pytorch_spark.kg.graph import node_similarity
+
+    edges = spark.createDataFrame(
+        [("h", "p"), ("h", "q"), ("h", "r")],
+        "src: string, dst: string",
+    )
+    assert (
+        node_similarity(edges, min_common=2, src="src", dst="dst").count()
+        == 0
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): r["jaccard"]
+        for r in node_similarity(
+            edges, min_common=1, src="src", dst="dst"
+        ).collect()
+    }
+    assert got == {("p", "q"): 1.0, ("p", "r"): 1.0, ("q", "r"): 1.0}

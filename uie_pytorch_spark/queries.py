@@ -2981,6 +2981,72 @@ def kg_community_labels(spark, sf_dir):
     )
 
 
+# reduced graph for the similarity tier (customer tier dropped: 1,500
+# same-nation customers would emit ~45k near-zero-signal pairs)
+_KG_SIM_EDGES = """
+      SELECT lower(p_name) AS src, lower(r_name) AS dst
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+      UNION ALL
+      SELECT lower(n_name), lower(r_name)
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT lower(a.r_name), lower(b.r_name)
+      FROM region a JOIN region b ON b.r_regionkey = (a.r_regionkey + 1) % 5
+"""
+
+
+@query(
+    "kg_node_similarity",
+    f"""
+    WITH e0 AS ({_KG_SIM_EDGES}),
+    nbr AS (SELECT DISTINCT v, n FROM (
+              SELECT src AS v, dst AS n FROM e0
+              UNION ALL
+              SELECT dst AS v, src AS n FROM e0) u
+            WHERE v <> n),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree
+            FROM nbr GROUP BY v),
+    inter AS (SELECT w1.v AS a, w2.v AS b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM nbr w1 JOIN nbr w2 ON w1.n = w2.n AND w1.v < w2.v
+              GROUP BY w1.v, w2.v)
+    SELECT i.a AS entity_a, i.b AS entity_b, i.n_common,
+           da.degree AS degree_a, db.degree AS degree_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(da.degree + db.degree - i.n_common AS DOUBLE)
+             AS jaccard
+    FROM inter i JOIN deg da ON i.a = da.v JOIN deg db ON i.b = db.v
+    WHERE i.n_common >= 1
+    """,
+)
+def kg_node_similarity(spark, sf_dir):
+    """Link-prediction candidate scoring (kg.graph.node_similarity):
+    common-neighbor Jaccard over the reduced fixture KG — pairs meet
+    through a shared-neighbor wedge equi-join (never all-pairs),
+    intersections from one combinable groupBy, union size as
+    d_a + d_b - intersection (no second join)."""
+    from .kg.graph import node_similarity
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    pr = p.join(r, r["r_regionkey"] == p["p_partkey"] % 5).select(
+        F.lower("p_name").alias("src"), F.lower("r_name").alias("dst")
+    )
+    nr = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.lower("n_name").alias("src"), F.lower("r_name").alias("dst")
+    )
+    ra, rb = r.alias("ra"), r.alias("rb")
+    rr = ra.join(
+        rb, F.col("rb.r_regionkey") == (F.col("ra.r_regionkey") + 1) % 5
+    ).select(
+        F.lower("ra.r_name").alias("src"), F.lower("rb.r_name").alias("dst")
+    )
+    edges = pr.unionByName(nr).unionByName(rr)
+    return node_similarity(edges, min_common=1, src="src", dst="dst")
+
+
 @query(
     "kg_entity_profile",
     _pagerank_ctes(5)

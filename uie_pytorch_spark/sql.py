@@ -1077,6 +1077,7 @@ for _kg_q in (
     "kg_constraint_violations",
     "kg_snapshot_diff",
     "kg_entity_profile",
+    "kg_node_similarity",
 ):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
