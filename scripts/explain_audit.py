@@ -319,6 +319,34 @@ def main():
          plan_of(QUERIES["kg_snapshot_diff"](spark, SF)))
     )
 
+    # 18. node similarity: wedge equi-join pair generation, no
+    # cartesian, degrees joined back keyed
+    sections.append(
+        ("kg_node_similarity (shared-neighbor wedge join -> combinable pair count)",
+         "Expect pair generation as a hash equi-join of the symmetric "
+         "neighbor table with itself ON THE NEIGHBOR id (v1 < v2 as a "
+         "post-join Filter), ONE partial-aggregated HashAggregate on "
+         "(a, b), and the degree table joining back per endpoint — no "
+         "CartesianProduct / BroadcastNestedLoopJoin over node pairs "
+         "anywhere.",
+         plan_of(QUERIES["kg_node_similarity"](spark, SF)))
+    )
+
+    # 19. entity profile: three narrow per-entity vectors composed by
+    # keyed equi-joins — never a wide shuffle of the edge table
+    sections.append(
+        ("kg_entity_profile (rank + community + degree vertices table)",
+         "Expect the PageRank vector, LPA label vector, and degree "
+         "table each reduced to narrow (entity_id, value) aggregates "
+         "BEFORE the final composition, then two equi-joins keyed on "
+         "entity_id (broadcast at fixture scale is fine; the point is "
+         "the join keys are entity ids, so at 10^9 entities it becomes "
+         "a co-partitioned shuffle join, never a cartesian) — and no "
+         "re-shuffle of the raw edge table after the per-operator "
+         "aggregates.",
+         plan_of(QUERIES["kg_entity_profile"](spark, SF)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"
