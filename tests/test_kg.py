@@ -654,3 +654,101 @@ def test_node_similarity_min_common_gate(spark):
         ).collect()
     }
     assert got == {("p", "q"): 1.0, ("p", "r"): 1.0, ("q", "r"): 1.0}
+
+
+def test_fact_intervals_scd2_runs_and_reopen(spark):
+    from datetime import datetime
+
+    from uie_pytorch_spark.kg.maintain import fact_intervals
+
+    # s1: A,A,B,A -> three intervals (the A run REOPENS after B —
+    # run-length semantics, not groupBy-object); s2: one open interval.
+    t = spark.createDataFrame(
+        [
+            ("s1", "p", "A", datetime(2026, 1, 1)),
+            ("s1", "p", "A", datetime(2026, 2, 1)),
+            ("s1", "p", "B", datetime(2026, 3, 1)),
+            ("s1", "p", "A", datetime(2026, 4, 1)),
+            ("s2", "p", "X", datetime(2026, 1, 15)),
+        ],
+        "subj_id: string, pred: string, obj_id: string, ts: timestamp",
+    )
+    rows = sorted(
+        fact_intervals(t).collect(),
+        key=lambda r: (r["subj_id"], r["valid_from"]),
+    )
+    got = [
+        (r["subj_id"], r["obj_id"], r["valid_from"].month,
+         r["valid_to"].month if r["valid_to"] else None, r["is_current"])
+        for r in rows
+    ]
+    assert got == [
+        ("s1", "A", 1, 3, False),
+        ("s1", "B", 3, 4, False),
+        ("s1", "A", 4, None, True),
+        ("s2", "X", 1, None, True),
+    ]
+
+
+def test_fact_intervals_same_ts_tiebreak(spark):
+    from datetime import datetime
+
+    from uie_pytorch_spark.kg.maintain import fact_intervals
+
+    # two conflicting assertions at the SAME ts collapse with
+    # snapshot_latest's max-object rule before intervals form, so the
+    # output is a pure function of the input set
+    t = spark.createDataFrame(
+        [
+            ("s", "p", "a", datetime(2026, 1, 1)),
+            ("s", "p", "z", datetime(2026, 1, 1)),
+            ("s", "p", "z", datetime(2026, 2, 1)),
+        ],
+        "subj_id: string, pred: string, obj_id: string, ts: timestamp",
+    )
+    rows = fact_intervals(t).collect()
+    assert len(rows) == 1
+    assert rows[0]["obj_id"] == "z" and rows[0]["is_current"]
+
+
+def test_hits_hand_graph(spark):
+    from uie_pytorch_spark.kg.graph import hits
+
+    # h1 -> {a, b}, h2 -> {a}; 2 L1-normalized rounds by hand:
+    #   r1: auth a=2/3 b=1/3; hub h1=3/5 h2=2/5
+    #   r2: auth a=5/8 b=3/8; hub h1=8/13 h2=5/13
+    e = spark.createDataFrame(
+        [("h1", "p", "a"), ("h2", "p", "a"), ("h1", "p", "b"),
+         ("h1", "p", "a")],  # duplicate edge must not change scores
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    got = {r["entity_id"]: (r["hub"], r["auth"])
+           for r in hits(e, iters=2).collect()}
+    assert abs(got["h1"][0] - 8 / 13) < 1e-12
+    assert abs(got["h2"][0] - 5 / 13) < 1e-12
+    assert abs(got["a"][1] - 5 / 8) < 1e-12
+    assert abs(got["b"][1] - 3 / 8) < 1e-12
+    assert got["a"][0] == 0.0 and got["h1"][1] == 0.0
+
+
+def test_ntriples_lines_exact_serialization(spark):
+    from uie_pytorch_spark.export import ntriples_lines
+
+    t = spark.createDataFrame(
+        [("san jose", "made-in", "west coast", 0.25)],
+        "subj_id: string, pred: string, obj_id: string, conf: double",
+    )
+    row = ntriples_lines(t, conf="conf").collect()[0]
+    assert row["ntriple"] == (
+        "<http://kg.example/e/san_jose> <http://kg.example/p/made-in> "
+        "<http://kg.example/e/west_coast> ."
+    )
+    assert row["conf_ntriple"] == (
+        "<http://kg.example/stmt/san_jose__made-in__west_coast> "
+        '<http://kg.example/p/confidence> "0.250000"'
+        "^^<http://www.w3.org/2001/XMLSchema#double> ."
+    )
+    # no conf column requested -> 4-column shape, pure projection
+    assert ntriples_lines(t).columns == [
+        "subj_id", "pred", "obj_id", "ntriple",
+    ]

@@ -883,3 +883,35 @@ def test_cdc_shared_segments_finds_common_footer(spark):
     rep = D.cdc_shared_segments(docs, min_len=20).collect()
     assert rep, "no shared segments found"
     assert all(r["n_docs"] == 2 for r in rep)  # docs 1+2, never 3
+
+
+def test_corpus_mix_sample_rates_and_determinism(spark):
+    from uie_pytorch_spark.operators.textstats import corpus_mix_sample
+
+    rows = [(i, "t", ["keep", "drop", "half"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    out = corpus_mix_sample(
+        docs, {"keep": 1.0, "drop": 0.0}, default_rate=0.5
+    )
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got["keep"] == 100          # rate 1.0 keeps the whole stratum
+    assert "drop" not in got           # rate 0.0 drops it entirely
+    assert 20 <= got.get("half", 0) <= 80   # default rate ~0.5 of 100
+    # deterministic: same ids survive across repartitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in corpus_mix_sample(
+            docs.repartition(7), {"keep": 1.0, "drop": 0.0}, default_rate=0.5
+        ).collect()
+    )
+    assert a == b
+    # re-drawable: a different seed picks a different 'half' subset
+    c = sorted(
+        r["doc_id"]
+        for r in corpus_mix_sample(
+            docs, {"keep": 1.0, "drop": 0.0}, default_rate=0.5, seed="mix-v2"
+        ).collect()
+    )
+    assert a != c

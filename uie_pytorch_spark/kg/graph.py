@@ -543,3 +543,75 @@ def node_similarity(
             ).alias("jaccard"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over the
+    directed KG edge set — the complement of PageRank salience: an
+    AUTHORITY is an entity many well-connected subjects point at (a
+    good link target), a HUB is a subject that points at many strong
+    authorities (a good aggregation page / list entity). Per round,
+    auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v); the
+    classical per-round normalization is deferred to ONE final L1
+    normalization of each vector — every per-round normalizer is a
+    scalar that factors straight through the linear gathers, so the
+    end vectors are identical (and the L1 choice keeps the oracle
+    plain aggregate algebra; the L2 variant needs sqrt and gains
+    nothing for ranking). Deferring it matters for the PLAN: a
+    normalization inside the loop references its input twice (rows +
+    scalar total), doubling the operator tree per round — exponential
+    Catalyst blowup by depth 3 — while the raw gather chain grows
+    linearly exactly like pagerank(). Duplicate edges collapse first,
+    so the scores are a pure function of the edge SET.
+
+    Scale shape per round: one keyed equi-join of the edge table
+    against a narrow (entity_id, score) vector + one map-side
+    combinable groupBy, twice; the two final normalizations are each
+    ONE scalar aggregate broadcast back (a 1-row cross join — never a
+    skewed key). Checkpoint the score vectors every ~10 rounds at
+    depth on a real cluster."""
+    if iters < 1:
+        raise ValueError("hits() needs iters >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("entity_id"))
+        .unionByName(e.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    hub = nodes.select("entity_id", F.lit(1.0).alias("hub"))
+    auth_raw = None
+    for _ in range(iters):
+        auth_raw = (
+            e.join(hub, e["src"] == hub["entity_id"])
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hub = (
+            e.join(auth_raw, e["dst"] == auth_raw["entity_id"])
+            .groupBy(F.col("src").alias("entity_id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+
+    def _norm(vec: DataFrame, col: str) -> DataFrame:
+        full = nodes.join(vec, "entity_id", "left").select(
+            "entity_id", F.coalesce(F.col(col), F.lit(0.0)).alias(col)
+        )
+        tot = full.agg(F.sum(col).alias("__tot"))
+        return full.crossJoin(F.broadcast(tot)).select(
+            "entity_id", (F.col(col) / F.col("__tot")).alias(col)
+        )
+
+    return _norm(hub, "hub").join(_norm(auth_raw, "auth"), "entity_id").select(
+        "entity_id",
+        F.col("hub").cast("double").alias("hub"),
+        F.col("auth").cast("double").alias("auth"),
+    )

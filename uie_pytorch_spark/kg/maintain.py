@@ -258,3 +258,73 @@ def snapshot_diff(
         "old_obj",
         "new_obj",
     )
+
+
+def fact_intervals(
+    triples: DataFrame,
+    ts_col: str = "ts",
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """Fact versioning (SCD2): turn a timestamped observation log into
+    validity intervals — for each (subject, predicate), every run of
+    consecutive observations asserting the SAME object collapses to one
+    row ``[valid_from, valid_to)`` with ``valid_to`` null (and
+    ``is_current`` true) on the open run. This is the temporal-KG
+    answer to 'what did the graph believe at time T' — the interval
+    table a recrawl pipeline materializes so point-in-time queries are
+    one range predicate instead of a scan of the raw log. The reference
+    re-extracts per crawl (uie_predictor.py:212-329) and keeps no
+    history; at 10^12 documents the history IS the product.
+
+    Same-timestamp conflicts collapse first with ``snapshot_latest``'s
+    tie rule (max object per (subject, predicate, ts)) so the interval
+    table is a pure function of the input SET.
+
+    Shape: everything is partitioned by the fact key — one combinable
+    groupBy for the per-ts collapse, one window (lag) for the
+    change flag, a running sum for run ids, one groupBy for run
+    collapse, one window (lead) for interval close. Five keyed,
+    co-partitioned passes over narrow rows; NEVER a self-join of the
+    log against itself, so a 10^11-row observation log costs one
+    shuffle by (subject, predicate) and the output is bounded by the
+    number of object CHANGES, not observations."""
+    per_ts = (
+        triples.select(
+            F.col(subj).alias("subj_id"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj_id"),
+            F.col(ts_col).alias("ts"),
+        )
+        .groupBy("subj_id", "pred", "ts")
+        .agg(F.max("obj_id").alias("obj_id"))
+    )
+    w_ts = Window.partitionBy("subj_id", "pred").orderBy("ts")
+    runs = (
+        per_ts.withColumn("__prev", F.lag("obj_id").over(w_ts))
+        .withColumn(
+            "__chg",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__prev") != F.col("obj_id")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__run", F.sum("__chg").over(w_ts))
+    )
+    iv = runs.groupBy("subj_id", "pred", "__run", "obj_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w_iv = Window.partitionBy("subj_id", "pred").orderBy("valid_from")
+    return (
+        iv.withColumn("valid_to", F.lead("valid_from").over(w_iv))
+        .select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

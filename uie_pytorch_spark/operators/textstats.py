@@ -361,3 +361,49 @@ def hash_split(
     return docs.withColumn("split_bucket", bucket.cast("int")).withColumn(
         "split", split
     )
+
+
+def corpus_mix_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling to per-stratum target
+    rates — the corpus-mixing step that rebalances a crawl before
+    training (e.g. keep 100% of zh, 25% of en, drop the rest). A doc
+    is kept iff ``h60(id || seed) % 1_000_000 < rate * 1_000_000``, so
+    membership is a pure projection: content-independent, stable
+    across runs / partitionings / cluster sizes, re-drawable by
+    changing ``seed`` only, and id-keyed so near-dup variants sharing
+    an id stay together (same leakage-safety argument as hash_split).
+
+    Strata absent from ``rates`` get ``default_rate``. Rates are
+    applied through an exact integer threshold (floor of rate * 1e6)
+    so Spark and any SQL oracle agree bit-for-bit.
+
+    Scale shape: ONE broadcast join against the tiny rate dim + a
+    filter — zero shuffles of the corpus; the expected kept fraction
+    per stratum converges to its rate by the uniformity of the hash."""
+    rate_rows = [
+        (k, int(float(v) * 1_000_000)) for k, v in sorted(rates.items())
+    ]
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        rate_rows, f"{stratum_col}: string, __thresh: long"
+    )
+    bucket = h60(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    ) % 1_000_000
+    dflt = int(float(default_rate) * 1_000_000)
+    return (
+        docs.join(F.broadcast(dim), stratum_col, "left")
+        .withColumn("__bucket", bucket)
+        .filter(
+            F.col("__bucket")
+            < F.coalesce(F.col("__thresh"), F.lit(dflt))
+        )
+        .drop("__thresh", "__bucket")
+    )

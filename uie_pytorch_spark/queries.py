@@ -2212,6 +2212,37 @@ def hash_split_report(spark, sf_dir):
     )
 
 
+_MIX_RATES = {"zh": 1.0, "en": 0.4, "fr": 0.75}
+_MIX_DEFAULT = 0.1
+
+
+@query(
+    "corpus_mix_sample",
+    f"""
+    WITH rates(lang, thresh) AS (
+      VALUES ('en', 400000), ('fr', 750000), ('zh', 1000000)
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    WHERE {h60_sql("CAST(d.doc_id AS VARCHAR) || '|' || 'mix-v1'")}
+            % 1000000
+          < coalesce(r.thresh, 100000)
+    """,
+)
+def corpus_mix_sample(spark, sf_dir):
+    """Corpus mixing (textstats.corpus_mix_sample): deterministic
+    hash-thresholded stratified downsampling to per-language target
+    rates (zh 100%, fr 75%, en 40%, default 10%) — a broadcast join
+    against the rate dim + a pure-projection filter, zero shuffles of
+    the corpus; row-level output so the oracle checks MEMBERSHIP, not
+    just counts."""
+    return TS.corpus_mix_sample(
+        _t(spark, sf_dir, "documents"),
+        rates=_MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
 # =====================================================================
 # KG graph algorithms (fusion / PageRank / k-hop) over a deterministic
 # fixture graph.  The SQL below is deliberately DIALECT-NEUTRAL (every
@@ -2318,6 +2349,47 @@ def _pagerank_sql(iters: int) -> str:
     SELECT entity_id, CAST(round(pr * 1000000) AS BIGINT) AS rank_micro
     FROM r{iters}"""
     )
+
+
+def _hits_ctes(iters: int) -> str:
+    """The CTE chain of the unrolled fixed-iteration HITS
+    (kg.graph.hits): per round, a RAW authority gather (sum of
+    incoming hub scores) then a RAW hub gather (sum of outgoing
+    authority scores); normalization is deferred to one final L1 pass
+    per vector (per-round normalizers are scalars that factor through
+    the linear gathers — identical end vectors, linear CTE growth
+    instead of the doubled-reference blowup a per-round scalar join
+    causes in both engines). The final relations are
+    ``hfin(entity_id, hub)`` and ``afin(entity_id, auth)``; callers
+    append their SELECT."""
+    out = [
+        f"WITH e AS ({_KG_GRAPH_EDGES}),",
+        """
+    ed AS (SELECT DISTINCT src, dst FROM e
+           WHERE src IS NOT NULL AND dst IS NOT NULL),
+    nodes AS (SELECT src AS entity_id FROM ed UNION SELECT dst FROM ed),
+    h0 AS (SELECT entity_id, CAST(1 AS DOUBLE) AS hub FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        out.append(f""",
+    a{i} AS (SELECT ed.dst AS entity_id, sum(h{i - 1}.hub) AS auth
+             FROM ed JOIN h{i - 1} ON ed.src = h{i - 1}.entity_id
+             GROUP BY ed.dst),
+    h{i} AS (SELECT ed.src AS entity_id, sum(a{i}.auth) AS hub
+             FROM ed JOIN a{i} ON ed.dst = a{i}.entity_id
+             GROUP BY ed.src)""")
+    out.append(f""",
+    an AS (SELECT n.entity_id,
+                  coalesce(a{iters}.auth, CAST(0 AS DOUBLE)) AS auth
+           FROM nodes n LEFT JOIN a{iters} ON n.entity_id = a{iters}.entity_id),
+    hn AS (SELECT n.entity_id,
+                  coalesce(h{iters}.hub, CAST(0 AS DOUBLE)) AS hub
+           FROM nodes n LEFT JOIN h{iters} ON n.entity_id = h{iters}.entity_id),
+    afin AS (SELECT entity_id, auth / t.tot AS auth FROM an
+             CROSS JOIN (SELECT sum(auth) AS tot FROM an) t),
+    hfin AS (SELECT entity_id, hub / t.tot AS hub FROM hn
+             CROSS JOIN (SELECT sum(hub) AS tot FROM hn) t)""")
+    return "".join(out)
 
 
 def _khop_sql(k: int) -> str:
@@ -2612,6 +2684,44 @@ def kg_merge_delta(spark, sf_dir):
     )
 
 
+_NT_ESC = "regexp_replace({0}, '[^0-9A-Za-z_.~-]', '_', 'g')"
+
+
+@query(
+    "kg_ntriples_export",
+    f"""
+    WITH canon AS ({_KG_FUSION_CANON}),
+    fused AS ({_kg_fused_batch_sql("")})
+    SELECT subj_id, pred, obj_id,
+           concat_ws(' ',
+             '<http://kg.example/e/' || {_NT_ESC.format("subj_id")} || '>',
+             '<http://kg.example/p/' || {_NT_ESC.format("pred")} || '>',
+             '<http://kg.example/e/' || {_NT_ESC.format("obj_id")} || '>',
+             '.') AS ntriple,
+           concat_ws(' ',
+             '<http://kg.example/stmt/' || {_NT_ESC.format("subj_id")}
+               || '__' || {_NT_ESC.format("pred")}
+               || '__' || {_NT_ESC.format("obj_id")} || '>',
+             '<http://kg.example/p/confidence>',
+             '"' || printf('%.6f', conf_noisy_or)
+                 || '"^^<http://www.w3.org/2001/XMLSchema#double>',
+             '.') AS conf_ntriple
+    FROM fused
+    """,
+)
+def kg_ntriples_export(spark, sf_dir):
+    """RDF interchange (export.ntriples_lines): the fused edge table
+    serialized line-per-statement as N-Triples, plus a reified
+    per-edge confidence statement — a pure projection over the fusion
+    output, so the text materialization is partition-parallel at any
+    scale (df.write.text, no custom sink)."""
+    from .export import ntriples_lines
+    from .kg.graph import fuse_triples
+
+    fused = fuse_triples(_kg_fusion_mentions(spark, sf_dir))
+    return ntriples_lines(fused, conf="conf_noisy_or")
+
+
 @query(
     "kg_snapshot_latest",
     """
@@ -2714,6 +2824,62 @@ def kg_snapshot_diff(spark, sf_dir):
         t.filter(F.col("ts") >= F.lit("1997-01-01").cast("timestamp"))
     ).drop("ts")
     return snapshot_diff(olds, news)
+
+
+@query(
+    "kg_fact_intervals",
+    """
+    WITH t AS (
+      SELECT CAST(o_custkey AS BIGINT) AS subj_id,
+             'latest_status' AS pred,
+             o_orderstatus AS obj_id,
+             o_orderdate AS ts
+      FROM orders
+    ),
+    pt AS (
+      SELECT subj_id, pred, ts, max(obj_id) AS obj_id
+      FROM t GROUP BY subj_id, pred, ts
+    ),
+    chg AS (
+      SELECT subj_id, pred, obj_id, ts,
+             CASE WHEN lag(obj_id) OVER w IS NULL
+                    OR lag(obj_id) OVER w <> obj_id
+                  THEN 1 ELSE 0 END AS c
+      FROM pt
+      WINDOW w AS (PARTITION BY subj_id, pred ORDER BY ts)
+    ),
+    runs AS (
+      SELECT subj_id, pred, obj_id, ts,
+             sum(c) OVER (PARTITION BY subj_id, pred ORDER BY ts) AS run
+      FROM chg
+    ),
+    iv AS (
+      SELECT subj_id, pred, obj_id, min(ts) AS valid_from
+      FROM runs GROUP BY subj_id, pred, run, obj_id
+    )
+    SELECT subj_id, pred, obj_id, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM iv
+    WINDOW w2 AS (PARTITION BY subj_id, pred ORDER BY valid_from)
+    """,
+)
+def kg_fact_intervals(spark, sf_dir):
+    """SCD2 fact versioning (kg.maintain.fact_intervals): the
+    timestamped order-status observation log collapsed to validity
+    intervals per (customer, predicate) — runs of the same asserted
+    object become one [valid_from, valid_to) row, open runs flagged
+    is_current. All five passes are co-partitioned on the fact key;
+    output is bounded by object CHANGES, not observations."""
+    from .kg.maintain import fact_intervals
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("subj_id"),
+        F.lit("latest_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return fact_intervals(t)
 
 
 # Pred-labeled KG edges for the composition / typing tier: the fixture
@@ -3098,6 +3264,32 @@ def kg_entity_profile(spark, sf_dir):
             "community",
             "degree",
         )
+    )
+
+
+@query(
+    "kg_hits",
+    _hits_ctes(3)
+    + """
+    SELECT hfin.entity_id,
+           CAST(round(hfin.hub * 1000000) AS BIGINT) AS hub_micro,
+           CAST(round(afin.auth * 1000000) AS BIGINT) AS auth_micro
+    FROM hfin JOIN afin ON hfin.entity_id = afin.entity_id
+    """,
+)
+def kg_hits(spark, sf_dir):
+    """Hubs & authorities (kg.graph.hits, 3 L1-normalized rounds) over
+    the fixture KG — regions (everything points at them) surface as
+    authorities, customers (pure sources) as hubs; scores in integer
+    micro-units for cross-engine hash stability."""
+    from .kg.graph import hits
+
+    edges = _kg_graph_edges(spark, sf_dir)
+    h = hits(edges, iters=3, src="src", dst="dst")
+    return h.select(
+        "entity_id",
+        F.round(F.col("hub") * 1000000).cast("long").alias("hub_micro"),
+        F.round(F.col("auth") * 1000000).cast("long").alias("auth_micro"),
     )
 
 

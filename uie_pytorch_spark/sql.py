@@ -34,7 +34,8 @@ label-propagation CTE has no Spark SQL rendering). All
 families are covered: aggregation, join, window, dedup
 (exact/minhash/LSH/CDC/simhash/jaccard), textstats, temporal
 (asof/sessionize/range join), similarity/ANN (brute/SRP/IVF), KG
-(edges/degrees), and corpus profiling (skew/quantiles/split).
+(edges/degrees/graph algorithms/maintenance/RDF export), and corpus
+profiling (skew/quantiles/split/mix-sampling).
 """
 
 from __future__ import annotations
@@ -1076,11 +1077,37 @@ for _kg_q in (
     "kg_degree_histogram",
     "kg_constraint_violations",
     "kg_snapshot_diff",
+    "kg_fact_intervals",
     "kg_entity_profile",
     "kg_node_similarity",
+    "kg_hits",
 ):
     SQL_QUERIES[_kg_q] = _ORACLE_SQL[_kg_q]
 del _kg_q
+
+# corpus_mix_sample's oracle differs only in the h60 rendering (DuckDB
+# hex cast vs Spark conv()) and the rate-dim CTE column list (Spark
+# VALUES takes the alias inline).
+SQL_QUERIES["corpus_mix_sample"] = f"""
+    WITH rates AS (
+      SELECT * FROM VALUES ('en', 400000), ('fr', 750000),
+                           ('zh', 1000000) AS t(lang, thresh)
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    WHERE {_H60.format("CAST(d.doc_id AS STRING) || '|' || 'mix-v1'")}
+            % 1000000
+          < coalesce(r.thresh, 100000)
+"""
+
+# kg_ntriples_export shares the fusion CTEs verbatim; only the escape
+# regexp (DuckDB needs the 'g' flag, Spark's 3-arg form is global) and
+# the float formatter (printf vs format_string) are dialect-forced.
+SQL_QUERIES["kg_ntriples_export"] = (
+    _ORACLE_SQL["kg_ntriples_export"]
+    .replace(", '_', 'g')", ", '_')")
+    .replace("printf('%.6f'", "format_string('%.6f'")
+)
 
 # kg_link_mentions is the one KG query whose oracle needs a dialect
 # twin: DuckDB explodes surface tokens via `unnest(string_split(..))`,
