@@ -347,6 +347,55 @@ def main():
          plan_of(QUERIES["kg_entity_profile"](spark, SF)))
     )
 
+    # 20. SCD2 fact intervals: all passes co-partitioned on the fact
+    # key — expect ONE exchange for the whole chain
+    sections.append(
+        ("kg_fact_intervals (SCD2 validity intervals from an observation log)",
+         "Expect the per-ts collapse (HashAggregate on (subj, pred, "
+         "ts)), the lag/run windows, the run collapse, and the lead "
+         "window to all reuse ONE hash-partitioning on (subj_id, pred) "
+         "— a single Exchange feeding sorts/aggregates/windows, no "
+         "self-join of the log, no global window.",
+         plan_of(QUERIES["kg_fact_intervals"](spark, SF)))
+    )
+
+    # 21. HITS: deferred normalization keeps the gather chain linear
+    sections.append(
+        ("kg_hits (deferred-normalization hubs/authorities)",
+         "Expect a LINEAR chain of per-round gathers — one equi-join "
+         "of the distinct edge table against the narrow score vector "
+         "+ one partial-aggregated HashAggregate, twice per round — "
+         "and exactly TWO 1-row BroadcastNestedLoopJoin/cross joins "
+         "total (the final L1 normalizations), NOT two per round; no "
+         "per-round scalar join means no doubled-reference plan "
+         "blowup.",
+         plan_of(QUERIES["kg_hits"](spark, SF)))
+    )
+
+    # 22. corpus mix sampling: pure projection + broadcast rate dim —
+    # the corpus is never shuffled
+    sections.append(
+        ("corpus_mix_sample (stratified hash-rate downsampling)",
+         "Expect ONE BroadcastHashJoin against the tiny rate dim and "
+         "a Filter on the md5-derived bucket — no Exchange of the "
+         "documents scan at all (zero shuffles; membership is a pure "
+         "projection).",
+         plan_of(QUERIES["corpus_mix_sample"](spark, SF)))
+    )
+
+    # 23. bounded-hop weighted shortest paths: frontier joins only,
+    # per-round min collapse, one final combinable min
+    sections.append(
+        ("kg_shortest_paths (bounded min-plus relaxation from seeds)",
+         "Expect each round to be ONE equi-join of the previous "
+         "frontier (already collapsed to one row per entity by a "
+         "partial-aggregated min) against the deduped edge table plus "
+         "ONE HashAggregate — never a join of the full reached set — "
+         "then a Union of the k+1 layers into ONE final combinable "
+         "min-groupBy; no cartesian, no global window.",
+         plan_of(QUERIES["kg_shortest_paths"](spark, SF)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"

@@ -752,3 +752,24 @@ def test_ntriples_lines_exact_serialization(spark):
     assert ntriples_lines(t).columns == [
         "subj_id", "pred", "obj_id", "ntriple",
     ]
+
+
+def test_shortest_paths_min_plus_and_cycle(spark):
+    from uie_pytorch_spark.kg.graph import shortest_paths
+
+    # s -> a (w 5), s -> b (w 1), b -> a (w 1): 2-hop path beats the
+    # direct edge (dist a = 2, not 5); c unreachable within k; the
+    # a -> s back-edge closes a cycle that must not loop forever.
+    e = spark.createDataFrame(
+        [("s", "a", 5.0), ("s", "b", 1.0), ("b", "a", 1.0),
+         ("a", "s", 1.0), ("x", "c", 1.0)],
+        "subj_id: string, obj_id: string, w: double",
+    )
+    seeds = spark.createDataFrame([("s",)], "entity_id: string")
+    got = {r["entity_id"]: r["dist"]
+           for r in shortest_paths(e, seeds, k=3, weight="w").collect()}
+    assert got == {"s": 0.0, "b": 1.0, "a": 2.0}
+    # unweighted default: dist == hop count
+    got2 = {r["entity_id"]: r["dist"]
+            for r in shortest_paths(e, seeds, k=2).collect()}
+    assert got2 == {"s": 0.0, "a": 1.0, "b": 1.0}

@@ -615,3 +615,64 @@ def hits(
         F.col("hub").cast("double").alias("hub"),
         F.col("auth").cast("double").alias("auth"),
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    weight: str | None = None,
+) -> DataFrame:
+    """Bounded-hop weighted shortest paths from a seed entity set: the
+    minimum total edge weight reachable within ``k`` directed hops —
+    the weighted complement of ``k_hop`` (hop counts) for 'how closely
+    is this entity tied to the seed organizations' relevance scoring.
+    ``weight`` defaults to 1.0 per edge (then dist == hop distance).
+    Non-negative weights assumed (min-plus relaxation, k rounds of
+    Bellman-Ford); within the hop bound the result is exact and
+    deterministic (min is order-free).
+
+    Shape: k frontier expansions — each joins ONLY the previous
+    round's path extensions (not the whole reached set) against the
+    edge table, all keyed equi-joins — then ONE map-side combinable
+    min-groupBy over the unioned candidate set. Per-round work is
+    proportional to the path frontier; the final fold is one shuffle
+    of narrow (entity_id, dist) rows. For paths-per-round growth on
+    dense cyclic graphs, collapse each frontier to per-entity min
+    first (the groupBy below does it once at the end because k is
+    fixed and small here; at depth, fold per round)."""
+    if k < 1:
+        raise ValueError("shortest_paths() needs k >= 1")
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0).cast("double"))
+    )
+    layers = [frontier]
+    for _ in range(k):
+        frontier = (
+            frontier.join(e, frontier["entity_id"] == e["src"])
+            .select(
+                F.col("dst").alias("entity_id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            # per-round min collapse: keeps the next frontier one row
+            # per entity, so path count cannot grow combinatorially
+            # around cycles
+            .groupBy("entity_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        layers.append(frontier)
+    allc = layers[0]
+    for l in layers[1:]:
+        allc = allc.unionByName(l)
+    return allc.groupBy("entity_id").agg(
+        F.min("dist").cast("double").alias("dist")
+    )

@@ -2529,6 +2529,54 @@ def kg_khop_reach(spark, sf_dir):
     )
 
 
+def _shortest_paths_sql(k: int) -> str:
+    """Unrolled bounded-hop min-plus relaxation (kg.graph.shortest_paths)
+    on the REVERSED fixture graph from the region seed set: per round
+    one gather (min of frontier dist + edge weight), one final min over
+    the unioned layers."""
+    out = [
+        f"WITH e0 AS ({_KG_GRAPH_EDGES}),",
+        """
+    e AS (SELECT e0.dst AS src, e0.src AS dst, min(w) AS w
+          FROM e0 GROUP BY e0.dst, e0.src),
+    f0 AS (SELECT DISTINCT lower(r_name) AS entity_id,
+                  CAST(0 AS DOUBLE) AS dist
+           FROM region)""",
+    ]
+    for i in range(1, k + 1):
+        out.append(f""",
+    f{i} AS (SELECT e.dst AS entity_id, min(f{i - 1}.dist + e.w) AS dist
+             FROM e JOIN f{i - 1} ON e.src = f{i - 1}.entity_id
+             GROUP BY e.dst)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM f{i}" for i in range(k + 1)
+    )
+    out.append(f""",
+    u AS ({union})
+    SELECT entity_id, CAST(min(dist) AS DOUBLE) AS dist
+    FROM u GROUP BY entity_id""")
+    return "".join(out)
+
+
+@query("kg_shortest_paths", _shortest_paths_sql(3))
+def kg_shortest_paths(spark, sf_dir):
+    """Bounded-hop weighted shortest paths (kg.graph.shortest_paths,
+    3 rounds of min-plus relaxation) on the reversed fixture graph
+    from the region seeds — nations land at weight 2, customers at 3
+    through their nation, parts at their made-in edge weight; the
+    border 5-cycle exercises cycle safety (per-round min collapse
+    keeps the frontier one row per entity)."""
+    from .kg.graph import shortest_paths
+
+    seeds = _t(spark, sf_dir, "region").select(
+        F.lower("r_name").alias("entity_id")
+    )
+    return shortest_paths(
+        _kg_graph_edges(spark, sf_dir), seeds, k=3,
+        src="dst", dst="src", weight="w",
+    )
+
+
 # (document, entity) incidence rows for the co-occurrence tier: which
 # part names appear together in one order — 64 distinct items across
 # 15k docs at sf0.01, a dense-but-weighted co-occurrence structure.

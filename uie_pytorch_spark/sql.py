@@ -1068,6 +1068,7 @@ for _kg_q in (
     "kg_triple_fusion",
     "kg_pagerank",
     "kg_khop_reach",
+    "kg_shortest_paths",
     "kg_cooccurrence_pmi",
     "kg_triangle_counts",
     "kg_merge_delta",
