@@ -2930,6 +2930,47 @@ def kg_fact_intervals(spark, sf_dir):
     return fact_intervals(t)
 
 
+@query(
+    "kg_belief_asof",
+    ORACLE_SQL["kg_fact_intervals"].replace(
+        """    )
+    SELECT subj_id, pred, obj_id, valid_from,""",
+        """    ),
+    iv2 AS (
+    SELECT subj_id, pred, obj_id, valid_from,""",
+    )
+    + """
+    )
+    SELECT subj_id, pred, obj_id, valid_from, valid_to
+    FROM iv2
+    WHERE valid_from <= TIMESTAMP '1997-06-01'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01')
+    """,
+)
+def kg_belief_asof(spark, sf_dir):
+    """Point-in-time KG query over the SCD2 interval table: what did
+    the graph believe about each (customer, latest_status) fact on
+    1997-06-01 — ONE range predicate per fact against the
+    materialized intervals (the reason fact_intervals exists: no scan
+    of the raw observation log, no per-query window re-sort; at scale
+    the interval table is written partitioned by valid_from range so
+    the predicate prunes partitions)."""
+    from .kg.maintain import fact_intervals
+
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("subj_id"),
+        F.lit("latest_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    at = F.lit("1997-06-01").cast("timestamp")
+    iv = fact_intervals(t)
+    return iv.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).select("subj_id", "pred", "obj_id", "valid_from", "valid_to")
+
+
 # Pred-labeled KG edges for the composition / typing tier: the fixture
 # graph of _KG_GRAPH_EDGES with its predicates kept.
 _KG_PRED_EDGES = """

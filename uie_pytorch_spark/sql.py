@@ -1079,6 +1079,7 @@ for _kg_q in (
     "kg_constraint_violations",
     "kg_snapshot_diff",
     "kg_fact_intervals",
+    "kg_belief_asof",
     "kg_entity_profile",
     "kg_node_similarity",
     "kg_hits",
