@@ -915,3 +915,27 @@ def test_corpus_mix_sample_rates_and_determinism(spark):
         ).collect()
     )
     assert a != c
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from uie_pytorch_spark.operators.textstats import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "quick brown fox jumps over the lazy dog indeed"),
+            (3, "completely different words with no overlap at all here"),
+            (4, "short doc"),           # < n tokens -> no n-grams, no crash
+            (5, None),                   # null text ignored
+        ],
+        "doc_id: long, text: string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "THE  Quick Brown fox jumps over the lazy DOG")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["n_contaminated_ngrams"]
+           for r in decontaminate(docs, ev, n=8).collect()}
+    # doc 1 shares both 8-gram windows of the eval sentence (case and
+    # whitespace-run insensitive); doc 2 shares one; 3/4/5 clean
+    assert got == {1: 2, 2: 1}

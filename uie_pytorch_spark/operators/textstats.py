@@ -407,3 +407,57 @@ def corpus_mix_sample(
         )
         .drop("__thresh", "__bucket")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one token ``n``-gram with an evaluation set — the
+    standard pre-training hygiene pass (GPT-3 App. C / PaLM style:
+    8-gram overlap) that keeps eval answers out of the training
+    corpus. Returns (id_col, n_contaminated_ngrams) for flagged docs;
+    anti-join the result against the corpus to drop them (kept
+    separate so callers can audit before deleting).
+
+    Tokenization is lowercase whitespace splitting on both sides —
+    deterministic and language-agnostic; n-grams are joined with a
+    single space so differing whitespace runs cannot defeat the match.
+
+    Scale shape: the eval side (benchmarks are ~10^5-10^6 n-grams) is
+    DISTINCT-collapsed and broadcast; the corpus side explodes token
+    windows as a pure projection (F.transform over F.sequence — no
+    Python, no shuffle) into a broadcast inner join + ONE map-side
+    combinable per-doc count. The 10^12-doc side is never shuffled on
+    n-gram text; output is bounded by the contaminated docs."""
+
+    def _ngrams(df: DataFrame, id_cols: list, text: str) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+        # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+        # returning empty, so short docs need an explicit empty list
+        idx = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+        )
+        return df.select(*id_cols, F.explode(grams).alias("ngram"))
+
+    ev = (
+        _ngrams(eval_docs.filter(F.col(eval_text_col).isNotNull()), [], eval_text_col)
+        .distinct()
+    )
+    d = _ngrams(
+        docs.filter(F.col(text_col).isNotNull()), [F.col(id_col)], text_col
+    ).distinct()
+    return (
+        d.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
+    )

@@ -2212,6 +2212,43 @@ def hash_split_report(spark, sf_dir):
     )
 
 
+@query(
+    "benchmark_decontaminate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    di AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+      FROM tok
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 4), ' ') AS ngram
+      FROM di
+    ),
+    eg AS (SELECT DISTINCT ngram FROM dg WHERE doc_id % 97 = 0)
+    SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM dg JOIN eg ON dg.ngram = eg.ngram
+    GROUP BY dg.doc_id
+    """,
+)
+def benchmark_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (textstats.decontaminate): training
+    docs sharing a token 5-gram with the held-out eval subset
+    (doc_id % 97) — the GPT-3/PaLM-style n-gram overlap hygiene pass.
+    Eval n-grams distinct-collapse and broadcast; the corpus side is a
+    pure-projection n-gram explode into a broadcast join + one
+    combinable per-doc count (the corpus never shuffles on n-gram
+    text). The fixture includes one genuine cross-document hit beyond
+    the eval docs' self-matches."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return TS.decontaminate(docs, ev, n=5)
+
+
 _MIX_RATES = {"zh": 1.0, "en": 0.4, "fr": 0.75}
 _MIX_DEFAULT = 0.1
 

@@ -1111,6 +1111,29 @@ SQL_QUERIES["kg_ntriples_export"] = (
     .replace("printf('%.6f'", "format_string('%.6f'")
 )
 
+# benchmark_decontaminate's oracle builds n-grams with DuckDB list
+# functions (string_split_regex / generate_series / list_slice);
+# Spark renders the same algebra with split / sequence / slice /
+# array_join and an explicit empty-array guard (Spark's
+# sequence(1, 0) DESCENDS instead of returning empty).
+SQL_QUERIES["benchmark_decontaminate"] = r"""
+    WITH tok AS (
+      SELECT doc_id, split(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, array_join(slice(t, i, 5), ' ') AS ngram
+      FROM tok
+      LATERAL VIEW explode(
+        CASE WHEN size(t) >= 5 THEN sequence(1, size(t) - 4)
+             ELSE CAST(array() AS ARRAY<INT>) END) g AS i
+    ),
+    eg AS (SELECT DISTINCT ngram FROM dg WHERE doc_id % 97 = 0)
+    SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM dg JOIN eg ON dg.ngram = eg.ngram
+    GROUP BY dg.doc_id
+"""
+
 # kg_link_mentions is the one KG query whose oracle needs a dialect
 # twin: DuckDB explodes surface tokens via `unnest(string_split(..))`,
 # Spark via LATERAL VIEW explode(split(..)). Everything around the
