@@ -396,6 +396,31 @@ def main():
          plan_of(QUERIES["kg_shortest_paths"](spark, SF)))
     )
 
+    # 24. decontamination: broadcast eval n-grams, corpus never
+    # shuffled on n-gram text
+    sections.append(
+        ("benchmark_decontaminate (n-gram overlap vs eval set)",
+         "Expect the corpus n-gram explode as a pure projection "
+         "(Generate over transform/sequence) feeding the "
+         "BroadcastHashJoin DIRECTLY — no Exchange between the scan "
+         "and the join — with the eval side collapsing through its "
+         "own distinct into the BroadcastExchange, and the per-doc "
+         "DISTINCT count (expand/partial HashAggregates on (doc_id, "
+         "ngram)) sitting AFTER the join so the only shuffled "
+         "corpus-derived rows are the matched n-grams.",
+         plan_of(QUERIES["benchmark_decontaminate"](spark, SF)))
+    )
+
+    # 25. point-in-time belief: the interval chain + ONE filter
+    sections.append(
+        ("kg_belief_asof (point-in-time query over SCD2 intervals)",
+         "Expect exactly the kg_fact_intervals plan (single exchange "
+         "on the fact key feeding the window/aggregate chain) with "
+         "one additional Filter on (valid_from <= T AND (valid_to IS "
+         "NULL OR valid_to > T)) — no extra shuffle, no re-sort.",
+         plan_of(QUERIES["kg_belief_asof"](spark, SF)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"

@@ -773,3 +773,30 @@ def test_shortest_paths_min_plus_and_cycle(spark):
     got2 = {r["entity_id"]: r["dist"]
             for r in shortest_paths(e, seeds, k=2).collect()}
     assert got2 == {"s": 0.0, "a": 1.0, "b": 1.0}
+
+
+def test_fact_intervals_null_ts_dropped(spark):
+    from datetime import datetime
+
+    from uie_pytorch_spark.kg.maintain import fact_intervals
+
+    t = spark.createDataFrame(
+        [
+            ("s", "p", "A", datetime(2026, 1, 1)),
+            ("s", "p", "B", None),  # unversionable -> dropped
+        ],
+        "subj_id: string, pred: string, obj_id: string, ts: timestamp",
+    )
+    rows = fact_intervals(t).collect()
+    assert [(r["obj_id"], r["is_current"]) for r in rows] == [("A", True)]
+
+
+def test_ntriples_lines_drops_incomplete_edges(spark):
+    from uie_pytorch_spark.export import ntriples_lines
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), (None, "p", "c"), ("d", None, "e"), ("f", "p", None)],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    rows = ntriples_lines(t).collect()
+    assert len(rows) == 1 and rows[0]["subj_id"] == "a"

@@ -238,6 +238,14 @@ def ntriples_lines(
 
     Shape: a pure projection (zero shuffles, whole-stage codegen);
     writing is ``df.write.text`` partition-parallel at any scale."""
+    # a null id would make its concat() null and concat_ws would then
+    # silently drop the term, emitting a malformed statement — drop
+    # incomplete edges instead (an RDF statement needs all three terms)
+    triples = triples.filter(
+        F.col(subj).isNotNull()
+        & F.col(pred).isNotNull()
+        & F.col(obj).isNotNull()
+    )
     safe = lambda c: F.regexp_replace(  # noqa: E731
         F.col(c).cast("string"), "[^0-9A-Za-z_.~-]", "_"
     )

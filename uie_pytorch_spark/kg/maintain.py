@@ -297,6 +297,11 @@ def fact_intervals(
             F.col(obj).alias("obj_id"),
             F.col(ts_col).alias("ts"),
         )
+        # an observation without a timestamp cannot be versioned — and
+        # null ordering diverges across engines (Spark sorts NULLS
+        # FIRST ascending, DuckDB NULLS LAST), so dropping them keeps
+        # the interval table a pure engine-independent function
+        .filter(F.col("ts").isNotNull())
         .groupBy("subj_id", "pred", "ts")
         .agg(F.max("obj_id").alias("obj_id"))
     )

@@ -432,9 +432,11 @@ def decontaminate(
     Scale shape: the eval side (benchmarks are ~10^5-10^6 n-grams) is
     DISTINCT-collapsed and broadcast; the corpus side explodes token
     windows as a pure projection (F.transform over F.sequence — no
-    Python, no shuffle) into a broadcast inner join + ONE map-side
-    combinable per-doc count. The 10^12-doc side is never shuffled on
-    n-gram text; output is bounded by the contaminated docs."""
+    Python, no shuffle) straight into the broadcast inner join, and
+    the per-doc DISTINCT count happens AFTER the join — so the only
+    shuffle of corpus-derived rows carries the MATCHED (contaminated)
+    n-grams, never the corpus n-gram stream itself. Output is bounded
+    by the contaminated docs."""
 
     def _ngrams(df: DataFrame, id_cols: list, text: str) -> DataFrame:
         toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
@@ -455,9 +457,11 @@ def decontaminate(
     )
     d = _ngrams(
         docs.filter(F.col(text_col).isNotNull()), [F.col(id_col)], text_col
-    ).distinct()
+    )
     return (
         d.join(F.broadcast(ev), "ngram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
+        .agg(
+            F.countDistinct("ngram").cast("long").alias("n_contaminated_ngrams")
+        )
     )
