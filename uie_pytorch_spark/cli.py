@@ -4,6 +4,7 @@
 Example:
     zip -r /tmp/uie_pytorch_spark.zip uie_pytorch_spark
     spark-submit --py-files /tmp/uie_pytorch_spark.zip \\
+        --driver-memory 8g \\
         uie_pytorch_spark/cli.py \\
         --input /data/web_pages --output /data/kg_out \\
         --schema '{"竞赛名称": ["主办方", "承办方"]}' \\
@@ -13,6 +14,12 @@ Reads the web-pages table (url, warc_ts, html, text, lang), verifies
 the byte-identical-extraction invariant, runs checkpointed extraction
 partition by partition (resumable), canonicalizes entities, and
 materializes triples/entities/edges + lineage.
+
+Size the JVM: in local mode one JVM is driver AND executor, and
+spark-submit's 1g default OOMs the canonicalization aggregations
+(SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY) on corpora past a
+few thousand pages — pass ``--driver-memory`` (cluster mode:
+``--executor-memory``) sized to the box.
 """
 
 from __future__ import annotations
