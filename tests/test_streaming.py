@@ -477,3 +477,41 @@ def test_stream_edges_delta_compact_equals_batch_fuse(spark, tmp_path):
             abs(compacted[k]["conf_noisy_or"] - once[k]["conf_noisy_or"])
             < 1e-9
         )
+
+
+def test_stream_corpus_mix_sample_stateless(spark, tmp_path):
+    """corpus_mix_sample is a stream-static broadcast join + pure
+    projection, so the SAME operator runs unchanged on a stream —
+    membership must match the batch run exactly (it is a function of
+    doc_id alone)."""
+    from uie_pytorch_spark.operators.textstats import corpus_mix_sample
+
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+
+    rows = [(i, "text %d" % i, ["keep", "drop", "half"][i % 3])
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    docs.write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(inp)
+    q = (
+        corpus_mix_sample(stream, {"keep": 1.0, "drop": 0.0}, default_rate=0.5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in corpus_mix_sample(
+            docs, {"keep": 1.0, "drop": 0.0}, default_rate=0.5
+        ).collect()
+    )
+    assert got == want and len(got) >= 40
