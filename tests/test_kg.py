@@ -800,3 +800,24 @@ def test_ntriples_lines_drops_incomplete_edges(spark):
     )
     rows = ntriples_lines(t).collect()
     assert len(rows) == 1 and rows[0]["subj_id"] == "a"
+
+
+def test_reciprocity_report_hand_graph(spark):
+    from uie_pytorch_spark.kg.maintain import reciprocity_report
+
+    t = spark.createDataFrame(
+        [
+            ("a", "sym", "b"), ("b", "sym", "a"),      # reciprocal pair
+            ("a", "sym", "c"),                          # one-way
+            ("a", "sym", "b"),                          # duplicate edge
+            ("x", "loop", "x"),                         # self-loop excluded
+            ("x", "one", "y"),
+        ],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    got = {r["pred"]: (r["n_edges"], r["n_reciprocal"],
+                       round(r["reciprocity"], 6))
+           for r in reciprocity_report(t).collect()}
+    assert got["sym"] == (3, 2, round(2 / 3, 6))
+    assert got["one"] == (1, 0, 0.0)
+    assert "loop" not in got  # only a self-loop -> no qualifying edges

@@ -333,3 +333,57 @@ def fact_intervals(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def reciprocity_report(
+    triples: DataFrame,
+    subj: str = "subj_id",
+    pred: str = "pred",
+    obj: str = "obj_id",
+) -> DataFrame:
+    """Ontology QC: per-predicate reciprocity — how many directed
+    edges have their reverse asserted under the SAME predicate. A
+    ratio near 1 says the predicate is symmetric ('borders',
+    'sibling-of') and the ontology layer should either canonicalize
+    the pair order or declare the symmetry; a near-0 ratio on a
+    predicate documented as symmetric flags extraction asymmetry
+    (one direction systematically missed). Self-loops are excluded
+    (trivially reciprocal).
+
+    Shape: distinct directed edges -> ONE left-semi self-join keyed on
+    the full (pred, subj, obj)=(pred, obj, subj) fact key (an
+    equi-join, co-partitioned with the distinct's shuffle) -> two
+    combinable per-predicate counts joined on the tiny predicate key.
+    Output is one row per predicate."""
+    e = (
+        triples.select(
+            F.col(subj).alias("subj_id"),
+            F.col(pred).alias("pred"),
+            F.col(obj).alias("obj_id"),
+        )
+        .filter(F.col("subj_id") != F.col("obj_id"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("obj_id").alias("subj_id"),
+        "pred",
+        F.col("subj_id").alias("obj_id"),
+    )
+    recip = e.join(rev, ["subj_id", "pred", "obj_id"], "left_semi")
+    tot = e.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    rec = recip.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocal")
+    )
+    return tot.join(rec, "pred", "left").select(
+        "pred",
+        "n_edges",
+        F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("long").alias(
+            "n_reciprocal"
+        ),
+        (
+            F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("double")
+            / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )

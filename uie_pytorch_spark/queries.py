@@ -3010,6 +3010,96 @@ def kg_belief_asof(spark, sf_dir):
 
 # Pred-labeled KG edges for the composition / typing tier: the fixture
 # graph of _KG_GRAPH_EDGES with its predicates kept.
+@query(
+    "kg_reciprocity_report",
+    """
+    WITH base AS (
+      SELECT DISTINCT lower(a.r_name) AS subj_id, 'next-to' AS pred,
+             lower(b.r_name) AS obj_id
+      FROM region a JOIN region b ON b.r_regionkey = (a.r_regionkey + 1) % 5
+      UNION ALL
+      SELECT DISTINCT lower(b.r_name), 'next-to', lower(a.r_name)
+      FROM region a JOIN region b ON b.r_regionkey = (a.r_regionkey + 1) % 5
+      UNION ALL
+      SELECT lower(n_name), 'in-region', lower(r_name)
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT lower(r_name), 'in-region', lower(n_name)
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT DISTINCT lower(p_name), 'made-in', lower(r_name)
+      FROM part JOIN region ON r_regionkey = p_partkey % 5
+      WHERE p_size > 47
+    ),
+    e AS (
+      SELECT DISTINCT subj_id, pred, obj_id FROM base
+      WHERE subj_id <> obj_id
+    ),
+    rec AS (
+      SELECT e.pred FROM e
+      WHERE EXISTS (SELECT 1 FROM e r
+                    WHERE r.pred = e.pred AND r.subj_id = e.obj_id
+                      AND r.obj_id = e.subj_id)
+    ),
+    tot AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_edges
+            FROM e GROUP BY pred),
+    rc AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_reciprocal
+           FROM rec GROUP BY pred)
+    SELECT tot.pred, tot.n_edges,
+           CAST(coalesce(rc.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+           CAST(coalesce(rc.n_reciprocal, 0) AS DOUBLE)
+             / CAST(tot.n_edges AS DOUBLE) AS reciprocity
+    FROM tot LEFT JOIN rc ON tot.pred = rc.pred
+    """,
+)
+def kg_reciprocity_report(spark, sf_dir):
+    """Ontology QC (kg.maintain.reciprocity_report): per-predicate
+    reciprocity over a fixture where 'next-to' is fully symmetric
+    (both border directions asserted), 'in-region' is PARTIALLY
+    reciprocal (the reverse asserted only for even nation keys — the
+    extraction-asymmetry signal this report exists to surface), and
+    'made-in' is one-way."""
+    from .kg.maintain import reciprocity_report
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 47)
+    ra, rb = r.alias("ra"), r.alias("rb")
+    borders = ra.join(
+        rb, F.col("rb.r_regionkey") == (F.col("ra.r_regionkey") + 1) % 5
+    )
+    nxt = borders.select(
+        F.lower("ra.r_name").alias("subj_id"),
+        F.lit("next-to").alias("pred"),
+        F.lower("rb.r_name").alias("obj_id"),
+    ).unionByName(
+        borders.select(
+            F.lower("rb.r_name").alias("subj_id"),
+            F.lit("next-to").alias("pred"),
+            F.lower("ra.r_name").alias("obj_id"),
+        )
+    )
+    nr = n.join(r, n["n_regionkey"] == r["r_regionkey"])
+    inr = nr.select(
+        F.lower("n_name").alias("subj_id"),
+        F.lit("in-region").alias("pred"),
+        F.lower("r_name").alias("obj_id"),
+    ).unionByName(
+        nr.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.lower("r_name").alias("subj_id"),
+            F.lit("in-region").alias("pred"),
+            F.lower("n_name").alias("obj_id"),
+        )
+    )
+    made = p.join(r, r["r_regionkey"] == p["p_partkey"] % 5).select(
+        F.lower("p_name").alias("subj_id"),
+        F.lit("made-in").alias("pred"),
+        F.lower("r_name").alias("obj_id"),
+    )
+    return reciprocity_report(nxt.unionByName(inr).unionByName(made))
+
+
 _KG_PRED_EDGES = """
       SELECT DISTINCT lower(p_name) AS subj_id, 'made-in' AS pred,
              lower(r_name) AS obj_id

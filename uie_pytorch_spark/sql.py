@@ -1077,6 +1077,7 @@ for _kg_q in (
     "kg_entity_types",
     "kg_degree_histogram",
     "kg_constraint_violations",
+    "kg_reciprocity_report",
     "kg_snapshot_diff",
     "kg_fact_intervals",
     "kg_belief_asof",
