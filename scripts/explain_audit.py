@@ -421,6 +421,17 @@ def main():
          plan_of(QUERIES["kg_belief_asof"](spark, SF)))
     )
 
+    # 26. reciprocity: one keyed left-semi self-join, no cartesian
+    sections.append(
+        ("kg_reciprocity_report (per-predicate symmetric-edge QC)",
+         "Expect the distinct edge set built once, ONE left-semi "
+         "hash join keyed on the full reversed fact key (pred, "
+         "subj, obj)=(pred, obj, subj), two partial-aggregated "
+         "per-predicate counts, and a final join on the tiny pred "
+         "key — no cartesian, no window.",
+         plan_of(QUERIES["kg_reciprocity_report"](spark, SF)))
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit (.explain('formatted'))\n\n"
