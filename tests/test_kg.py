@@ -743,11 +743,33 @@ def test_ntriples_lines_exact_serialization(spark):
         "<http://kg.example/e/san_jose> <http://kg.example/p/made-in> "
         "<http://kg.example/e/west_coast> ."
     )
+    import hashlib
+
+    stmt_md5 = hashlib.md5(
+        "san jose\x1fmade-in\x1fwest coast".encode()
+    ).hexdigest()
     assert row["conf_ntriple"] == (
-        "<http://kg.example/stmt/san_jose__made-in__west_coast> "
+        f"<http://kg.example/stmt/{stmt_md5}> "
         '<http://kg.example/p/confidence> "0.250000"'
         "^^<http://www.w3.org/2001/XMLSchema#double> ."
     )
+    # null confidence -> NULL line (never the string "null" inside an
+    # xsd:double literal); the plain ntriple still emits
+    t2 = spark.createDataFrame(
+        [("a", "p", "b", None)],
+        "subj_id: string, pred: string, obj_id: string, conf: double",
+    )
+    row2 = ntriples_lines(t2, conf="conf").collect()[0]
+    assert row2["conf_ntriple"] is None
+    assert row2["ntriple"].endswith(" .")
+    # tie-valued double (2^-7): micro rendering is engine-independent
+    t3 = spark.createDataFrame(
+        [("a", "p", "b", 0.0078125)],
+        "subj_id: string, pred: string, obj_id: string, conf: double",
+    )
+    assert '"0.007813"' in ntriples_lines(t3, conf="conf").collect()[0][
+        "conf_ntriple"
+    ]
     # no conf column requested -> 4-column shape, pure projection
     assert ntriples_lines(t).columns == [
         "subj_id", "pred", "obj_id", "ntriple",

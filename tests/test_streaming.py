@@ -506,7 +506,7 @@ def test_stream_corpus_mix_sample_stateless(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), q.exception() or "availableNow timeout"
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     want = sorted(
         r["doc_id"]

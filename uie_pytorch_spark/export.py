@@ -231,10 +231,18 @@ def ntriples_lines(
     N-Triples line-per-statement, so the parquet->text write needs no
     custom sink and stays embarrassingly parallel). Entity and
     predicate ids mint IRIs under ``base`` with non-IRI-safe chars
-    folded to '_' (deterministic, dialect-neutral — no percent-encoding
-    divergence between engines); when ``conf`` names a confidence
-    column it is emitted as a second statement reifying the edge score
-    as a double literal on a per-edge statement IRI.
+    folded to '_' — deterministic and dialect-neutral (no
+    percent-encoding divergence between engines) but LOSSY: ids that
+    differ only in folded characters ('san jose' vs 'san_jose') merge
+    into one entity IRI, which is acceptable downstream of the
+    canonicalization tier (folding-equivalent surfaces canonicalize
+    together anyway) but NOT for raw ids — feed canonical ids. The
+    reified statement IRI is the md5 of the raw (unfolded) terms, so
+    confidence statements never collide even when entity IRIs fold
+    together. When ``conf`` names a confidence column it is emitted as
+    a second statement reifying the edge score as a double literal
+    (integer-micro rendering — engine-independent tie rounding); a
+    null confidence yields a NULL line, not a malformed literal.
 
     Shape: a pure projection (zero shuffles, whole-stage codegen);
     writing is ``df.write.text`` partition-parallel at any scale."""
@@ -260,18 +268,43 @@ def ntriples_lines(
         line.alias("ntriple"),
     ]
     if conf:
+        # statement IRI: md5 of the raw terms (US-separated) — the
+        # folded readable form would let distinct edges collide on one
+        # statement id ('a_b'+'c' vs 'a'+'b_c'), attaching conflicting
+        # confidence literals to a single reified statement
         stmt = F.concat(
-            F.lit(f"<{base}/stmt/"), safe(subj), F.lit("__"), safe(pred),
-            F.lit("__"), safe(obj), F.lit(">"),
+            F.lit(f"<{base}/stmt/"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col(subj).cast("string"),
+                    F.col(pred).cast("string"),
+                    F.col(obj).cast("string"),
+                )
+            ),
+            F.lit(">"),
         )
+        # render the double via integer micro-units, not %f: printf
+        # tie-rounding differs between engines (Java HALF_UP vs C
+        # half-even), so '%.6f' of 0.0078125 is 0.007813 in Spark but
+        # 0.007812 in DuckDB; round() agrees on positives in both
+        micro = F.round(F.col(conf).cast("double") * 1_000_000).cast("long")
         score = F.concat(
             F.lit('"'),
-            F.format_string("%.6f", F.col(conf).cast("double")),
+            F.floor(micro / 1_000_000).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((micro % 1_000_000).cast("string"), 6, "0"),
             F.lit('"^^<http://www.w3.org/2001/XMLSchema#double>'),
         )
         cols.append(
-            F.concat_ws(
-                " ", stmt, F.lit(f"<{base}/p/confidence>"), score, F.lit(".")
+            # a null confidence must yield a NULL line (no statement),
+            # not the string "null" inside an xsd:double literal
+            F.when(
+                F.col(conf).isNotNull(),
+                F.concat_ws(
+                    " ", stmt, F.lit(f"<{base}/p/confidence>"), score,
+                    F.lit("."),
+                ),
             ).alias("conf_ntriple")
         )
     return triples.select(*cols)

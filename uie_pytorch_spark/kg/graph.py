@@ -645,11 +645,25 @@ def shortest_paths(
     fixed and small here; at depth, fold per round)."""
     if k < 1:
         raise ValueError("shortest_paths() needs k >= 1")
-    e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
-    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            (F.col(weight) if weight else F.lit(1.0))
+            .cast("double")
+            .alias("w"),
+        )
+        # null endpoints/weights would emit null-keyed "reached" rows
+        # (groupBy keeps null keys; null + w propagates) — drop them
+        # like hits() does
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("w").isNotNull()
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
     frontier = (
         seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
         .distinct()

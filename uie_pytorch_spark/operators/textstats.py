@@ -336,6 +336,17 @@ def length_quantiles(
     )
 
 
+def _id_bucket(id_col: str, seed: str, mod: int) -> Column:
+    """The shared id-keyed bucket expression behind hash_split and
+    corpus_mix_sample: ``h60(id || '|' || seed) % mod``. One helper so
+    the leakage-safety argument (near-dup variants of one id always
+    land together) rests on a single keying scheme that cannot
+    silently diverge between the two operators."""
+    return h60(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
+    ) % mod
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -350,9 +361,7 @@ def hash_split(
     re-shardable by changing ``seed`` only. The standard leakage-safe
     split for training-data pipelines (id-keyed, so near-dup variants
     of one id always land in the same shard)."""
-    bucket = h60(
-        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
-    ) % 100
+    bucket = _id_bucket(id_col, seed, 100)
     split = (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
@@ -381,23 +390,24 @@ def corpus_mix_sample(
     an id stay together (same leakage-safety argument as hash_split).
 
     Strata absent from ``rates`` get ``default_rate``. Rates are
-    applied through an exact integer threshold (floor of rate * 1e6)
+    applied through an exact integer threshold (round of rate * 1e6)
     so Spark and any SQL oracle agree bit-for-bit.
 
     Scale shape: ONE broadcast join against the tiny rate dim + a
     filter — zero shuffles of the corpus; the expected kept fraction
     per stratum converges to its rate by the uniformity of the hash."""
+    # round, don't truncate: int(0.29 * 1e6) is 289999 because the
+    # binary double sits just below the decimal product — round()
+    # recovers the exact integer threshold the docstring promises
     rate_rows = [
-        (k, int(float(v) * 1_000_000)) for k, v in sorted(rates.items())
+        (k, int(round(float(v) * 1_000_000))) for k, v in sorted(rates.items())
     ]
     spark = docs.sparkSession
     dim = spark.createDataFrame(
         rate_rows, f"{stratum_col}: string, __thresh: long"
     )
-    bucket = h60(
-        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
-    ) % 1_000_000
-    dflt = int(float(default_rate) * 1_000_000)
+    bucket = _id_bucket(id_col, seed, 1_000_000)
+    dflt = int(round(float(default_rate) * 1_000_000))
     return (
         docs.join(F.broadcast(dim), stratum_col, "left")
         .withColumn("__bucket", bucket)
@@ -405,7 +415,10 @@ def corpus_mix_sample(
             F.col("__bucket")
             < F.coalesce(F.col("__thresh"), F.lit(dflt))
         )
-        .drop("__thresh", "__bucket")
+        # re-select the input columns: a USING join moves the join key
+        # first, and this operator's contract is a pure FILTER over
+        # the input (schema preserved, order included)
+        .select(*docs.columns)
     )
 
 

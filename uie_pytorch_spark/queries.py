@@ -2776,22 +2776,28 @@ _NT_ESC = "regexp_replace({0}, '[^0-9A-Za-z_.~-]', '_', 'g')"
     "kg_ntriples_export",
     f"""
     WITH canon AS ({_KG_FUSION_CANON}),
-    fused AS ({_kg_fused_batch_sql("")})
+    fused AS ({_kg_fused_batch_sql("")}),
+    f2 AS (
+      SELECT subj_id, pred, obj_id, conf_noisy_or,
+             CAST(round(conf_noisy_or * 1000000) AS BIGINT) AS micro
+      FROM fused
+    )
     SELECT subj_id, pred, obj_id,
            concat_ws(' ',
              '<http://kg.example/e/' || {_NT_ESC.format("subj_id")} || '>',
              '<http://kg.example/p/' || {_NT_ESC.format("pred")} || '>',
              '<http://kg.example/e/' || {_NT_ESC.format("obj_id")} || '>',
              '.') AS ntriple,
-           concat_ws(' ',
-             '<http://kg.example/stmt/' || {_NT_ESC.format("subj_id")}
-               || '__' || {_NT_ESC.format("pred")}
-               || '__' || {_NT_ESC.format("obj_id")} || '>',
+           CASE WHEN conf_noisy_or IS NOT NULL THEN concat_ws(' ',
+             '<http://kg.example/stmt/'
+               || md5(subj_id || chr(31) || pred || chr(31) || obj_id)
+               || '>',
              '<http://kg.example/p/confidence>',
-             '"' || printf('%.6f', conf_noisy_or)
+             '"' || CAST(CAST(floor(micro / 1000000.0) AS BIGINT) AS STRING)
+                 || '.' || lpad(CAST(micro % 1000000 AS STRING), 6, '0')
                  || '"^^<http://www.w3.org/2001/XMLSchema#double>',
-             '.') AS conf_ntriple
-    FROM fused
+             '.') END AS conf_ntriple
+    FROM f2
     """,
 )
 def kg_ntriples_export(spark, sf_dir):
@@ -2911,9 +2917,12 @@ def kg_snapshot_diff(spark, sf_dir):
     return snapshot_diff(olds, news)
 
 
-@query(
-    "kg_fact_intervals",
-    """
+# SCD2 interval CTE chain over the order-status observation log — the
+# final relation is ``iv2(subj_id, pred, obj_id, valid_from, valid_to,
+# is_current)``; kg_fact_intervals and kg_belief_asof both compose it
+# (a shared constant, not string surgery, so a formatting edit cannot
+# silently break one of them).
+_FACT_IV_CTES = """
     WITH t AS (
       SELECT CAST(o_custkey AS BIGINT) AS subj_id,
              'latest_status' AS pred,
@@ -2941,12 +2950,22 @@ def kg_snapshot_diff(spark, sf_dir):
     iv AS (
       SELECT subj_id, pred, obj_id, min(ts) AS valid_from
       FROM runs GROUP BY subj_id, pred, run, obj_id
-    )
-    SELECT subj_id, pred, obj_id, valid_from,
-           lead(valid_from) OVER w2 AS valid_to,
-           lead(valid_from) OVER w2 IS NULL AS is_current
-    FROM iv
-    WINDOW w2 AS (PARTITION BY subj_id, pred ORDER BY valid_from)
+    ),
+    iv2 AS (
+      SELECT subj_id, pred, obj_id, valid_from,
+             lead(valid_from) OVER w2 AS valid_to,
+             lead(valid_from) OVER w2 IS NULL AS is_current
+      FROM iv
+      WINDOW w2 AS (PARTITION BY subj_id, pred ORDER BY valid_from)
+    )"""
+
+
+@query(
+    "kg_fact_intervals",
+    _FACT_IV_CTES
+    + """
+    SELECT subj_id, pred, obj_id, valid_from, valid_to, is_current
+    FROM iv2
     """,
 )
 def kg_fact_intervals(spark, sf_dir):
@@ -2969,15 +2988,8 @@ def kg_fact_intervals(spark, sf_dir):
 
 @query(
     "kg_belief_asof",
-    ORACLE_SQL["kg_fact_intervals"].replace(
-        """    )
-    SELECT subj_id, pred, obj_id, valid_from,""",
-        """    ),
-    iv2 AS (
-    SELECT subj_id, pred, obj_id, valid_from,""",
-    )
+    _FACT_IV_CTES
     + """
-    )
     SELECT subj_id, pred, obj_id, valid_from, valid_to
     FROM iv2
     WHERE valid_from <= TIMESTAMP '1997-06-01'

@@ -1103,13 +1103,13 @@ SQL_QUERIES["corpus_mix_sample"] = f"""
           < coalesce(r.thresh, 100000)
 """
 
-# kg_ntriples_export shares the fusion CTEs verbatim; only the escape
-# regexp (DuckDB needs the 'g' flag, Spark's 3-arg form is global) and
-# the float formatter (printf vs format_string) are dialect-forced.
+# kg_ntriples_export shares the fusion CTEs verbatim; the only
+# dialect-forced difference left is the escape regexp's 'g' flag
+# (Spark's 3-arg regexp_replace is global) — the confidence literal is
+# rendered via integer micro-units precisely so no printf/format_string
+# tie-rounding divergence exists between engines.
 SQL_QUERIES["kg_ntriples_export"] = (
-    _ORACLE_SQL["kg_ntriples_export"]
-    .replace(", '_', 'g')", ", '_')")
-    .replace("printf('%.6f'", "format_string('%.6f'")
+    _ORACLE_SQL["kg_ntriples_export"].replace(", '_', 'g')", ", '_')")
 )
 
 # benchmark_decontaminate's oracle builds n-grams with DuckDB list
