@@ -843,3 +843,36 @@ def test_reciprocity_report_hand_graph(spark):
     assert got["sym"] == (3, 2, round(2 / 3, 6))
     assert got["one"] == (1, 0, 0.0)
     assert "loop" not in got  # only a self-loop -> no qualifying edges
+
+
+def test_random_walks_deterministic_and_sink_stops(spark):
+    from uie_pytorch_spark.kg.graph import random_walks
+
+    # a -> {b, c}; b -> c; c is a SINK (walks entering c stop early)
+    e = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c")],
+        "subj_id: string, pred: string, obj_id: string",
+    )
+    out = random_walks(e, length=3).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    # every walk starts at its own node
+    assert all(w[0] == wid for wid, w in walks.items())
+    # c is a sink: its walk has only step 0
+    assert set(walks["c"]) == {0}
+    # b's walk is forced: b -> c, then stops
+    assert walks["b"] == {0: "b", 1: "c"}
+    # a's step-1 node is one of its neighbors, then the walk follows
+    # the graph; a second invocation reproduces it exactly
+    assert walks["a"][1] in {"b", "c"}
+    again = {}
+    for r in random_walks(e, length=3).collect():
+        again.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert again == walks
+    # a different seed may (and here does) redraw the corpus shape:
+    # determinism is per-seed, not global
+    reseed = {}
+    for r in random_walks(e, length=3, seed="walk-v2").collect():
+        reseed.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert all(w[0] == wid for wid, w in reseed.items())

@@ -690,3 +690,81 @@ def shortest_paths(
     return allc.groupBy("entity_id").agg(
         F.min("dist").cast("double").alias("dist")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    seed: str = "walk-v1",
+) -> DataFrame:
+    """Deterministic seeded random walks over the directed KG — the
+    node2vec/DeepWalk-style corpus prep that turns a constructed graph
+    into embedding-training sequences. One walk starts at every node;
+    at step t the walker at node v picks out-neighbor
+    ``sorted_nbrs(v)[ h60(walk_id|seed|t) % outdeg(v) ]`` — a pure
+    hash draw, so the walk corpus is a deterministic function of the
+    edge SET and the seed (re-drawable by changing ``seed``; stable
+    across partitionings and cluster sizes, unlike rand()-based
+    walkers). Walks stop early at sink nodes (no out-edges). Output is
+    the exploded (walk_id, step, node) sequence table.
+
+    Scale shape: the neighbor-list table is ONE groupBy (sorted array
+    per src — bound the array by capping super-hub out-degrees
+    upstream via entity_degrees if needed); each step is ONE keyed
+    equi-join of the narrow (walk_id, cur) frontier against it plus a
+    pure-projection hash pick — length is fixed and small, no
+    driver-side state, no rand() nondeterminism."""
+    from ..operators.hashing import h60
+
+    if length < 1:
+        raise ValueError("random_walks() needs length >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nbrs = e.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    )
+    nodes = (
+        e.select(F.col("src").alias("entity_id"))
+        .unionByName(e.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    frontier = nodes.select(
+        F.col("entity_id").alias("walk_id"), F.col("entity_id").alias("cur")
+    )
+    steps = [
+        frontier.select(
+            "walk_id",
+            F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for t in range(1, length + 1):
+        pick = (
+            h60(
+                F.concat_ws(
+                    "|", F.col("walk_id"), F.lit(seed), F.lit(str(t))
+                )
+            )
+            % F.size(F.col("nbrs"))
+        ).cast("int") + 1
+        frontier = frontier.join(
+            nbrs, frontier["cur"] == nbrs["src"]
+        ).select(
+            "walk_id", F.element_at(F.col("nbrs"), pick).alias("cur")
+        )
+        steps.append(
+            frontier.select(
+                "walk_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -2614,6 +2614,61 @@ def kg_shortest_paths(spark, sf_dir):
     )
 
 
+def _walks_sql(
+    length: int,
+    seed: str = "walk-v1",
+    *,
+    listagg: str = "list(dst ORDER BY dst)",
+    idx_fmt: str = "nb.nbrs[{0}]",
+    len_fn: str = "len",
+    h60_fn=h60_sql,
+) -> str:
+    """Unrolled deterministic random walks (kg.graph.random_walks)
+    over the fixture graph: per step one frontier join against the
+    sorted neighbor-list table + a pure hash pick. Defaults render
+    DuckDB (the oracle); sql.py passes the Spark renderings
+    (sort_array(collect_list)/element_at/size and its h60 macro) to
+    produce the front-door twin from the same skeleton."""
+    out = [
+        f"WITH e0 AS ({_KG_GRAPH_EDGES}),",
+        f"""
+    ed AS (SELECT DISTINCT src, dst FROM e0
+           WHERE src IS NOT NULL AND dst IS NOT NULL),
+    nb AS (SELECT src, {listagg} AS nbrs
+           FROM ed GROUP BY src),
+    nodes AS (SELECT src AS entity_id FROM ed UNION SELECT dst FROM ed),
+    w0 AS (SELECT entity_id AS walk_id, entity_id AS cur FROM nodes)""",
+    ]
+    for t in range(1, length + 1):
+        pick = h60_fn(f"w.walk_id || '|' || '{seed}' || '|' || '{t}'")
+        idx = idx_fmt.format(
+            f"CAST({pick} % {len_fn}(nb.nbrs) AS BIGINT) + 1"
+        )
+        out.append(f""",
+    w{t} AS (SELECT w.walk_id, {idx} AS cur
+             FROM w{t - 1} w JOIN nb ON nb.src = w.cur)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, cur AS node FROM w{t}"
+        for t in range(length + 1)
+    )
+    out.append(f"\n    {unions}")
+    return "".join(out)
+
+
+@query("kg_random_walks", _walks_sql(3))
+def kg_random_walks(spark, sf_dir):
+    """Deterministic seeded random walks (kg.graph.random_walks, 3
+    steps, one walk per node) over the fixture graph — the node2vec/
+    DeepWalk corpus prep that turns the constructed KG into
+    embedding-training sequences; the hash draw makes the corpus a
+    pure function of (edge set, seed), stable at any parallelism."""
+    from .kg.graph import random_walks
+
+    return random_walks(
+        _kg_graph_edges(spark, sf_dir), length=3, src="src", dst="dst"
+    )
+
+
 # (document, entity) incidence rows for the co-occurrence tier: which
 # part names appear together in one order — 64 distinct items across
 # 15k docs at sf0.01, a dense-but-weighted co-occurrence structure.

@@ -1103,6 +1103,19 @@ SQL_QUERIES["corpus_mix_sample"] = f"""
           < coalesce(r.thresh, 100000)
 """
 
+# kg_random_walks: same unrolled skeleton as the oracle, with Spark's
+# list-function renderings (sort_array(collect_list) / element_at /
+# size) and h60 macro substituted.
+from .queries import _walks_sql as _walks  # noqa: E402
+
+SQL_QUERIES["kg_random_walks"] = _walks(
+    3,
+    listagg="sort_array(collect_list(dst))",
+    idx_fmt="element_at(nb.nbrs, CAST({0} AS INT))",
+    len_fn="size",
+    h60_fn=lambda e: _H60.format(e),
+)
+
 # kg_ntriples_export shares the fusion CTEs verbatim; the only
 # dialect-forced difference left is the escape regexp's 'g' flag
 # (Spark's 3-arg regexp_replace is global) — the confidence literal is
