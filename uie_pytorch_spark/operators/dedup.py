@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import MINHASH_COEFFS, MINHASH_PRIME, h60
+from .util import spread
 
 DEFAULT_K = 12       # minhash permutations
 DEFAULT_BANDS = 4    # LSH bands (rows per band = K / BANDS)
@@ -71,15 +72,21 @@ def minhash_sig_array(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint> of length k). ONE md5 per distinct
     (doc, shingle) + k affine permutations (a*h32 + b) % P over the low
-    32 bits (hashing.MINHASH_COEFFS). Compared with hashing every
-    (perm, shingle) pair (round 2): k x less md5 work, and the groupBy
-    shuffles each shingle row ONCE with k parallel min buffers instead
-    of exploding it k times."""
+    32 bits (hashing.MINHASH_COEFFS).
+
+    Round-6 note: the shingle explode + k-buffer groupBy stays — a
+    per-row fold of all k mins (aggregate/zip_with) was tried and is
+    2x SLOWER per core: higher-order functions are CodegenFallback,
+    so the md5 chain runs interpreted, while this shape keeps md5 and
+    the affine mixes inside whole-stage codegen. What round 6 adds is
+    ``spread`` below: the per-(doc,shingle) md5 work is the operator's
+    dominant cost and otherwise runs entirely inside the scan task(s)
+    of the input — one task for a single-row-group fixture file."""
     if k > len(MINHASH_COEFFS):
         raise ValueError(
             f"k={k} exceeds the {len(MINHASH_COEFFS)} fixed permutations"
         )
-    sh = shingles(docs, text_col, width)
+    sh = shingles(spread(docs.select("doc_id", text_col)), text_col, width)
     h32 = h60(F.col("shingle")).bitwiseAND(F.lit(4294967295))
     proj = sh.select(
         "doc_id",
@@ -354,7 +361,10 @@ def near_dup_canonical(
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 60) -> DataFrame:
     """60-bit SimHash over whitespace tokens weighted by term
     frequency: bit j of the fingerprint is set when the tf-weighted
-    sum of (+1 / -1) for that bit over all tokens is positive."""
+    sum of (+1 / -1) for that bit over all tokens is positive.
+    (Round 6: a ``spread`` parallelism floor was measured here and
+    reverted — the callers pass small slices and the extra exchange
+    cost more than the per-token compute it parallelized.)"""
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(r"[\S]+"), 0)).alias("tok"),

@@ -18,9 +18,11 @@ which stays in exact decimal arithmetic end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .util import spread
 
 DEC = "decimal(9,6)"
 
@@ -128,7 +130,13 @@ def _flat_micro(emb: DataFrame) -> DataFrame:
     float->double widening, *1e6 in IEEE double, and half-away-from-
     zero rounding agree bit-for-bit, so integer dots are cross-engine
     exact. Dot products fit comfortably: |xi| <= 1e6, dim 64 ->
-    |dot| <= 6.4e13 << 2^63."""
+    |dot| <= 6.4e13 << 2^63.
+
+    Long format kept for the DuckDB oracle rendering; the Spark scale
+    paths below use the ARRAY form (_micro_col) so dots run as one
+    codegen'd zip_with/aggregate per pair instead of a dim-way explode
+    + equi-join + hash agg (round-6 rework: same integer values —
+    bigint addition is associative — at dim x fewer shuffled rows)."""
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -138,6 +146,45 @@ def _flat_micro(emb: DataFrame) -> DataFrame:
         .cast("long")
         .alias("xi"),
     )
+
+
+def _micro_col(col) -> Column:
+    """array<long> of integer micro-units from an array<float/double>
+    embedding column — the array twin of _flat_micro (identical
+    element values: double widening, *1e6, half-away-from-zero)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c,
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+
+
+def _zl() -> Column:
+    """bigint 0 literal (built lazily — F.lit needs an active session)."""
+    return F.lit(0).cast("long")
+
+
+def _dot_arr(a: Column, b: Column) -> Column:
+    """Exact integer dot of two micro-unit arrays with the SAME
+    semantics as the old flat equi-join on index i: an index
+    contributes only when present AND non-null on both sides
+    (zip_with pads the shorter array with null; null products fold
+    to 0, exactly like the join dropping that index). Bigint addition
+    is associative, so the left-to-right fold equals the old
+    shuffle-order SUM bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.coalesce(x * y, _zl())),
+        _zl(),
+        lambda acc, v: acc + v,
+    )
+
+
+def _has_vec(col) -> Column:
+    """Rows the old posexplode path would KEEP: non-null, non-empty
+    embedding arrays (explode of null/empty emitted no rows, dropping
+    the vector from every downstream table)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (F.size(c) > 0)
 
 
 def _plane_sign(seed: int, plane: int, i: int) -> int:
@@ -161,37 +208,34 @@ def srp_buckets(
     bitwise identical across engines and partitionings (float sums
     near zero could flip a bucket bit between engines).
 
-    Scale shape: one explode (dim x planes rows per vector via a
-    broadcast join against the tiny sign table, all map-side
-    combinable) + two partial-agg groupBys keyed by vec_id — no big
-    joins, no driver state; linear in corpus size. The sign table
-    (planes x dim rows) is computed driver-side with hashlib.md5
-    (bit-identical to Spark's md5 and DuckDB's) so no per-data-row
-    hashing runs at all. Projections are exact integer micro-unit
-    sums, so the sign test never straddles a float boundary."""
-    flat = _flat_micro(emb)
-    signs = F.broadcast(
-        emb.sparkSession.createDataFrame(
-            [
-                (p, i, _plane_sign(seed, p, i))
-                for p in range(planes)
-                for i in range(dim)
-            ],
-            "plane: int, i: int, sign: int",
+    Scale shape (round-6 rework): ZERO shuffles — the sign matrix is
+    computed driver-side with hashlib.md5 (bit-identical to Spark's
+    md5 and DuckDB's) and inlined as literal arrays, so each plane's
+    projection is one codegen'd zip_with/aggregate over the micro-unit
+    array and the bucket id is a pure per-row projection. The earlier
+    shape (posexplode to dim rows -> broadcast sign join -> two
+    partial-agg groupBys) shuffled dim x planes rows per vector for
+    what is per-row arithmetic. Projections stay exact integer
+    micro-unit sums (bigint addition is associative -> identical
+    values), so the sign test never straddles a float boundary."""
+    mv = F.col("_mv")
+    bucket = _zl()
+    for p in range(planes):
+        sarr = F.array(
+            *[F.lit(_plane_sign(seed, p, i)) for i in range(dim)]
         )
-    )
-    p = flat.join(signs, "i")
-    proj = p.groupBy("vec_id", "plane").agg(
-        F.sum(F.col("xi") * F.col("sign")).alias("proj")
-    )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            # shiftleft with a COLUMN bit count needs the SQL form
-            F.expr(
-                "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), plane) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("bucket")
+        proj = F.aggregate(
+            F.zip_with(mv, sarr, lambda x, s: F.coalesce(x * s, _zl())),
+            _zl(),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(
+            proj > 0, F.lit(1 << p).cast("long")
+        ).otherwise(_zl())
+    return (
+        spread(emb.filter(_has_vec("embedding")).select("vec_id", "embedding"))
+        .select("vec_id", _micro_col("embedding").alias("_mv"))
+        .select("vec_id", bucket.alias("bucket"))
     )
 
 
@@ -207,9 +251,11 @@ def srp_topk(
     """The 100 TB ANN path: SRP bucket equi-join + exact in-bucket
     rerank. Candidates for a query are ONLY the vectors sharing its
     bucket (an equi-join on bucket id — never a cross join); the
-    rerank computes exact decimal dot products on candidate pairs by
-    joining the pair list to the flat vectors, so the per-pair work is
-    O(dim) and total work is O(sum of bucket sizes squared / buckets)
+    rerank computes exact integer micro-unit dot products on candidate
+    pairs by joining the pair list to the micro-unit ARRAY vectors
+    (one row per pair, dot as a codegen'd zip_with/aggregate — round-6
+    rework of the dim-way flat join), so the per-pair work is O(dim)
+    and total work is O(sum of bucket sizes squared / buckets)
     instead of O(n^2).
 
     ``probes`` > 0 enables multi-probe: each query also looks in the
@@ -240,18 +286,23 @@ def srp_topk(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", F.col("vec_id").alias("neighbor_id")).distinct()
 
-    flat = _flat_micro(emb)
-    qf = flat.select(
-        F.col("vec_id").alias("query_id"), "i", F.col("xi").alias("qx")
+    mve = spread(
+        emb.filter(_has_vec("embedding")).select("vec_id", "embedding")
+    ).select("vec_id", _micro_col("embedding").alias("mv"))
+    qf = mve.select(
+        F.col("vec_id").alias("query_id"), F.col("mv").alias("qv")
     ).join(queries.select(F.col("vec_id").alias("query_id")), "query_id")
-    cf = flat.select(F.col("vec_id").alias("neighbor_id"), "i", "xi")
+    nf = mve.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("mv").alias("nv")
+    )
     dots = (
         cand.join(qf, "query_id")
-        .join(cf, ["neighbor_id", "i"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            (F.sum(F.col("qx") * F.col("xi")).cast("double") / F.lit(1e12))
-            .alias("dot")
+        .join(nf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_arr(F.col("qv"), F.col("nv")).cast("double") / F.lit(1e12))
+            .alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -279,12 +330,18 @@ def ivf_topk(
     there — the other standard web-scale ANN layout next to SRP
     (faiss's IVF family).
 
-    Scale shape: the centroid table is tiny and BROADCAST, so the
-    assignment is one map-side join + a per-vector argmax (no shuffle
-    of the corpus beyond one partial-agg groupBy); candidates meet
-    through the (centroid -> members) equi-join — never a cross join;
-    rerank is the same pair-list x flat-vector pattern as srp_topk,
-    O(dim) per candidate pair.
+    Scale shape (round-6 rework): the centroid table is tiny and
+    BROADCAST as micro-unit ARRAYS, so the assignment is one map-side
+    nested-loop join producing n x C compact rows whose scores are
+    codegen'd zip_with/aggregate dots (the earlier shape exploded the
+    corpus to n x dim rows and equi-joined C x dim centroid rows on
+    the index — n x dim x C intermediate rows and a giant hash agg);
+    the per-vector argmax is one partial-agg groupBy via struct MAX
+    (same (score DESC, cent_id ASC) winner as the old row_number
+    window, without the per-vector sort); candidates meet through the
+    (centroid -> members) equi-join — never a cross join; rerank is
+    the same pair-list x micro-array pattern as srp_topk, O(dim) per
+    candidate pair.
 
     ``centroids``: pass a trained coarse quantizer as (vec_id,
     embedding) — e.g. pyspark.ml.clustering.KMeans cluster centers —
@@ -309,23 +366,40 @@ def ivf_topk(
         raise ValueError(
             f"assign_metric must be 'dot' or 'l2', got {assign_metric!r}"
         )
-    flat = _flat_micro(emb)
+    mve = spread(
+        emb.filter(_has_vec("embedding")).select("vec_id", "embedding")
+    ).select("vec_id", _micro_col("embedding").alias("mv"))
     cent = centroids if centroids is not None else emb.filter(
         F.col("vec_id") < n_centroids
     )
-    cflat = F.broadcast(
-        _flat_micro(cent.select("vec_id", "embedding")).select(
-            F.col("vec_id").alias("cent_id"), "i", F.col("xi").alias("ci")
+    carr = F.broadcast(
+        cent.select("vec_id", "embedding")
+        .filter(_has_vec("embedding"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            _micro_col("embedding").alias("cv"),
         )
     )
-    cdots = (
-        flat.join(cflat, "i")
-        .groupBy("vec_id", "cent_id")
-        .agg(
-            F.sum(F.col("xi") * F.col("ci")).alias("cdot"),
-            F.sum(F.col("ci") * F.col("ci")).alias("cnorm2"),
+    # cnorm2 mirrors the old flat-join semantics exactly: centroid
+    # components count only at indices ALSO present (non-null) in the
+    # vector (the index equi-join's intersection) — for equal-dim
+    # vectors this IS ||c||^2.
+    score_cols = [_dot_arr(F.col("mv"), F.col("cv")).alias("cdot")]
+    if assign_metric == "l2":
+        score_cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col("mv"),
+                    F.col("cv"),
+                    lambda x, c: F.when(
+                        x.isNull() | c.isNull(), _zl()
+                    ).otherwise(c * c),
+                ),
+                _zl(),
+                lambda acc, v: acc + v,
+            ).alias("cnorm2")
         )
-    )
+    scored = mve.crossJoin(carr).select("vec_id", "cent_id", *score_cols)
     # "l2": argmin ||x-c||^2 == argmax (2 x.c - ||c||^2), all integer
     # micro-unit^2 terms -> exact, no float ties (fits ANSI bigint:
     # |2 cdot| + cnorm2 < dim * 2^41 << 2^63)
@@ -334,13 +408,33 @@ def ivf_topk(
         if assign_metric == "dot"
         else F.lit(2) * F.col("cdot") - F.col("cnorm2")
     )
-    cw = Window.partitionBy("vec_id").orderBy(
-        list_score.desc(), F.col("cent_id").asc()
+    # per-vector argmax with the SAME tiebreak as a (score DESC,
+    # cent_id ASC) row_number: struct max is lexicographic, so the
+    # winner has max score, then max(-cent_id) = min cent_id. One
+    # partial-agg groupBy instead of a full-corpus window sort.
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    list_score.alias("s"), (-F.col("cent_id")).alias("nc")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.nc")).alias("cent_id"))
     )
-    ranked = cdots.withColumn("crank", F.row_number().over(cw))
-    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    # top-n_probe lists are needed for QUERY vectors only — rank after
+    # the semi-join so the window sorts |queries| x C rows, not n x C.
     probes = (
-        ranked.join(queries.select("vec_id"), "vec_id", "left_semi")
+        scored.join(queries.select("vec_id"), "vec_id", "left_semi")
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    list_score.desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
         .filter(F.col("crank") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
@@ -351,17 +445,20 @@ def ivf_topk(
         .distinct()
     )
 
-    qf = flat.select(
-        F.col("vec_id").alias("query_id"), "i", F.col("xi").alias("qx")
+    qf = mve.select(
+        F.col("vec_id").alias("query_id"), F.col("mv").alias("qv")
     ).join(queries.select(F.col("vec_id").alias("query_id")), "query_id")
-    nf = flat.select(F.col("vec_id").alias("neighbor_id"), "i", "xi")
+    nf = mve.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("mv").alias("nv")
+    )
     dots = (
         cand.join(qf, "query_id")
-        .join(nf, ["neighbor_id", "i"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            (F.sum(F.col("qx") * F.col("xi")).cast("double") / F.lit(1e12))
-            .alias("dot")
+        .join(nf, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_arr(F.col("qv"), F.col("nv")).cast("double") / F.lit(1e12))
+            .alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
