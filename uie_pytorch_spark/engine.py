@@ -517,8 +517,17 @@ class UIEEngine:
         # is compute-bound, not size-bound — AQE's size-based
         # coalescing would shrink the tiny post-distinct shuffle to 1
         # partition and serialize all model work on one core.
+        # Round 6: default dropped from 2x to 1x defaultParallelism —
+        # one task wave instead of two. Rows are spread evenly by the
+        # 64-bit dedup hash and the bucketed kernel bounds per-row cost
+        # variance, so the finer 2x granularity bought no balance but
+        # paid an extra wave of task/scheduling overhead and more
+        # cache-lock contention between AQE's concurrent stage jobs
+        # (measured 9.2 s -> 7.4 s on the sf0.1 flagship at 32 cores;
+        # stragglers from slow NODES are speculative execution's job,
+        # not the partition count's).
         n_parts = self.config.infer_partitions or (
-            self.spark.sparkContext.defaultParallelism * 2
+            self.spark.sparkContext.defaultParallelism
         )
         infer_in = infer_in.repartition(n_parts, "key")
         records = infer_in.mapInArrow(self._infer_udf, schema=_INFER_SCHEMA)
@@ -560,8 +569,17 @@ class UIEEngine:
         # max by (count, prob sum), ties -> earliest chunk; reported
         # probability is the mean. Sums run in chunk order (in-order
         # fold) for bitwise determinism.
+        # Round 6: ONE exchange for the whole vote chain — hash
+        # partitioning by (doc_id, ex_id) satisfies the clustering
+        # requirement of all three groupBys ((doc,ex,pos), (doc,ex,
+        # rtext), (doc,ex) are supersets), so the two downstream
+        # aggregations run exchange-free where the old chain paid
+        # three shuffles (guide §2.4: establish the partitioning once).
+        cls_in = joined.filter(F.col("is_cls")).repartition(
+            "doc_id", "ex_id"
+        )
         cls_first = (
-            joined.filter(F.col("is_cls"))
+            cls_in
             .groupBy("doc_id", "ex_id", "pos")
             .agg(
                 F.min_by(
