@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow the planner to pick shuffled-hash over sort-merge when
+        # its size conditions hold (guide §9/§3.1): skips both sort
+        # passes; the planner still falls back to SMJ for build sides
+        # that cannot hash locally, and AQE skew-splitting covers SHJ.
+        # Measured on the join battery at sf0.1: ~8-10% faster
+        # (double_dim_join 1.09 -> 0.99 s), no result change.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
