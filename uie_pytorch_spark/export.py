@@ -284,6 +284,12 @@ def ntriples_lines(
             ),
             F.lit(">"),
         )
+        # PRECONDITION (ADVICE r5, documented rather than changed —
+        # the oracle freezes this rendering): conf must lie in [0, 1].
+        # A negative confidence would produce a malformed literal
+        # (sign-preserving % lpads a negative remainder into the
+        # fraction digits); extraction probabilities are sigmoid
+        # outputs, so the range holds by construction upstream.
         # render the double via integer micro-units, not %f: printf
         # tie-rounding differs between engines (Java HALF_UP vs C
         # half-even), so '%.6f' of 0.0078125 is 0.007813 in Spark but

@@ -443,6 +443,16 @@ def label_propagation(
     fully deterministic, so the same fixed unrolling runs as a SQL
     oracle (unlike classic randomized LPA).
 
+    Domain note (ADVICE r5, deliberately NOT changed in the
+    optimization round): the node set is seeded from the self-loop-
+    FILTERED neighbor table, so an entity whose only edges are
+    self-loops has no community row — and kg_entity_profile's inner
+    join consequently omits it. This drop is part of the operator's
+    oracle-checked contract; widening the seed would change declared
+    query results. Callers needing isolated nodes should left-join
+    the vertex table against this output and coalesce to the node's
+    own id.
+
     Scale shape per round: ONE equi-join of the symmetric neighbor
     table against the label vector (keyed on the neighbor), ONE
     map-side-combinable (node, label) count, ONE per-node window for

@@ -219,7 +219,16 @@ def snapshot_diff(
     snapshots shuffles both sides anyway, but the union+groupBy form
     keeps the comparison inside ONE combinable aggregate and emits
     only the differing keys). Output is bounded by the churn, not the
-    graph size."""
+    graph size.
+    Preconditions (ADVICE r5, documented rather than changed — the
+    DuckDB oracle freezes this exact logic): object values are assumed
+    NON-NULL and each snapshot holds at most one row per (subj, pred).
+    A genuinely NULL obj on one side is reported as 'added'/'removed'
+    even when the key exists on both sides, and duplicate keys are
+    masked by max(). Validate upstream (kg_constraint_violations
+    covers the uniqueness check) before trusting the diff on inputs
+    that may violate either assumption.
+    """
     o = old.select(
         F.col(subj).alias("subj_id"),
         F.col(pred).alias("pred"),

@@ -139,7 +139,16 @@ def bm25_topk(
     groupBy (postings-proportional cost; the filter pushes into the
     scan), while dl/avgdl come from a separate full-stream length agg
     — N and avgdl enter as a broadcast one-row join. Output:
-    (rank, doc_id, n_terms_hit, score); ties break on doc_id ASC."""
+    (rank, doc_id, n_terms_hit, score); ties break on doc_id ASC.
+
+    Query terms are normalized with the CORPUS token rule (lowercase +
+    TOKEN_RE split, same as phrase_match), so a punctuated or
+    multi-word term ('U.S.', 'hash table') contributes its
+    constituent corpus tokens instead of silently matching nothing
+    (round-6 fix from ADVICE; identity for terms that already are
+    single corpus-rule tokens)."""
+    import re
+
     toks = tokens(docs, text_col)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -149,7 +158,11 @@ def bm25_topk(
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    qt = [t.lower() for t in query_terms]
+    qt = sorted({
+        tok for t in query_terms for tok in re.findall(TOKEN_RE, t.lower())
+    })
+    if not qt:
+        raise ValueError("query_terms contain no tokens under the corpus rule")
     tf = (
         toks.filter(F.col("tok").isin(qt))
         .groupBy("doc_id", "tok")

@@ -345,7 +345,14 @@ def _id_bucket(id_col: str, seed: str, mod: int) -> Column:
     corpus_mix_sample: ``h60(id || '|' || seed) % mod``. One helper so
     the leakage-safety argument (near-dup variants of one id always
     land together) rests on a single keying scheme that cannot
-    silently diverge between the two operators."""
+    silently diverge between the two operators.
+
+    Null-id behavior (ADVICE r5, documented rather than changed — the
+    oracle freezes concat_ws semantics): concat_ws skips NULLs, so
+    every null-id doc hashes to h60(seed) and shares ONE bucket —
+    corpus_mix_sample/hash_split keep or drop all of them together
+    instead of sampling at the target rate. Supply non-null ids (or
+    pre-assign surrogates) when null ids are possible."""
     return h60(
         F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))
     ) % mod
