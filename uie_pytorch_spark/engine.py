@@ -537,6 +537,15 @@ class UIEEngine:
         # the decoded spans (tiny vs the inference that made them).
         records = records.persist()
         self._stage_caches.append(records)
+        # Round 6: probe the persisted records ONCE per stage and skip
+        # the whole classification-vote subtree when the model decoded
+        # no cls answers (span-only schemas — the flagship — pay three
+        # aggregation stages + their AQE scheduling for provably-empty
+        # output otherwise). The probe's isEmpty also materializes the
+        # inference stage by itself, so the downstream branch jobs read
+        # the cache instead of racing to build it. Output is identical
+        # by construction: an empty cls input aggregates to zero rows.
+        has_cls = not records.filter(F.col("is_cls")).isEmpty()
 
         right = (
             F.broadcast(records)
@@ -563,6 +572,9 @@ class UIEEngine:
             "parent_end",
             "parent_prob",
         )
+
+        if not has_cls:
+            return span_rows.select(RESULT_COLS)
 
         # classification vote (uie_predictor.py:529-550): per chunk
         # only the FIRST cls record counts; per example the winner is
