@@ -73,6 +73,29 @@ def near_match_edges(
     )
 
 
+def _ckpt_with_signature(df: DataFrame):
+    """Eagerly localCheckpoint ``df`` and return (checkpointed_df,
+    signature) where signature = (count, bit_xor of row hashes, min v)
+    — an overflow-safe change detector (ids are xxhash64-scale, so
+    arithmetic sums overflow ANSI). The signature rides the CHECKPOINT
+    materialization itself via an in-plan ``observe`` (CollectMetrics
+    is a row-level pass-through, so the checkpointed data is
+    untouched): one Spark job per CC round where a separate
+    ``agg().collect()`` used to cost a second driver-synced job —
+    measured delivery works for the eager-checkpoint action."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+        F.min("v").alias("m"),
+    ).localCheckpoint(eager=True)
+    m = obs.get
+    return out, (m["n"], m["s"], m["m"])
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
@@ -80,10 +103,11 @@ def connected_components(
     min node id in the component. Alternating large-star / small-star;
     each round is two self-joins + groupBy min. Deterministic; loops
     terminate when the edge multiset stops changing (checked via a
-    cheap aggregate signature)."""
+    cheap aggregate signature collected BY the per-round checkpoint
+    job — see _ckpt_with_signature)."""
     spark = edges.sparkSession
     # undirected -> ordered pairs u > v (parent candidates)
-    e = (
+    e, prev_sig = _ckpt_with_signature(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .filter(F.col("u") != F.col("v"))
@@ -91,25 +115,19 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        # cut the upstream DAG once — edge construction may sit on an
-        # expensive lineage (model inference); every CC round and the
-        # isEmpty probe would otherwise recompute it
-        .localCheckpoint(eager=True)
+        # the checkpoint cuts the upstream DAG once — edge construction
+        # may sit on an expensive lineage (model inference); every CC
+        # round would otherwise recompute it. Its observed count also
+        # answers the emptiness probe (one job where round 5 paid a
+        # checkpoint AND an isEmpty).
     )
-    if e.isEmpty():
+    if prev_sig[0] == 0:
         return spark.createDataFrame([], "id: long, component: long")
 
-    def signature(df: DataFrame):
-        # overflow-safe change detector: count + xor of row hashes
-        # (ids are xxhash64-scale, so arithmetic sums overflow ANSI)
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("s"),
-            F.min("v").alias("m"),
-        ).collect()[0]
-        return (r["n"], r["s"], r["m"])
-
-    prev_sig = None
+    # Seeding prev_sig with the INITIAL edge signature adds one extra
+    # exit opportunity (an already-converged star graph breaks after
+    # round 1 instead of 2); the round map is a deterministic function
+    # of e, so breaking on e_k == e_{k-1} yields the same final e.
     for _ in range(max_iterations):
         # large-star: every neighbor w of u with w > u links to
         # min(neighbors(u) ∪ {u})
@@ -129,16 +147,15 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins.select(F.col("u"), F.col("m").alias("v")))
         )
-        e = (
+        # the checkpoint truncates lineage each round — iterative
+        # self-joins otherwise grow the logical plan exponentially —
+        # and its observe carries the convergence signature for free
+        e, sig = _ckpt_with_signature(
             large.union(small)
             .filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            # truncate lineage each round — iterative self-joins
-            # otherwise grow the logical plan exponentially
-            .localCheckpoint(eager=True)
         )
-        sig = signature(e)
         if sig == prev_sig:
             break
         prev_sig = sig
