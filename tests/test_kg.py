@@ -58,6 +58,33 @@ def test_connected_components_chain(spark):
     assert len(comp) == n + 1
 
 
+def test_connected_components_empty_selfloop_converged(spark):
+    """Focused coverage for the round-6 internals change (convergence
+    signature carried by an observe on the per-round checkpoint job):
+    (a) empty input and (b) self-loops-only input exercise the
+    observed-count emptiness path that replaced the isEmpty probe;
+    (c) a star graph is a fixpoint of the small/large-star round map,
+    so ONE round must suffice (the seeded initial signature makes the
+    loop exit there) — asserted by forcing max_iterations=1."""
+    empty = spark.createDataFrame([], "src: long, dst: long")
+    assert C.connected_components(empty).count() == 0
+    assert [f.name for f in C.connected_components(empty).schema] == [
+        "id", "component",
+    ]
+
+    loops = spark.createDataFrame([(5, 5), (7, 7)], "src: long, dst: long")
+    assert C.connected_components(loops).count() == 0
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src: long, dst: long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in C.connected_components(star, max_iterations=1).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_connected_components_large_mixed_graph(spark):
     """Scale-shape evidence for the CC backbone: a 512-node path
     (worst case for label propagation — high diameter), a 500-leaf
