@@ -111,3 +111,25 @@ def test_tokenizer_offsets_shape():
 def test_tokenizer_truncates_long_text():
     enc = encode_pair("pp", "x" * 1000, max_seq_len=64)
     assert enc["input_ids"].shape[0] == 64
+
+
+def test_blas_env_vars_deterministic_and_injected(spark):
+    """The kernel-env contract (round 6): blas_env_vars() is stable
+    within a host (same coretype every call), single-threaded, and
+    UIEEngine construction injects it into sc.environment so Python
+    workers of ANY session (even one built by an external harness)
+    load the same OpenBLAS kernels as the eager oracle process."""
+    from uie_pytorch_spark.core import blas_env_vars, preferred_blas_coretype
+    from uie_pytorch_spark.engine import UIEEngine
+
+    env1, env2 = blas_env_vars(), blas_env_vars()
+    assert env1 == env2
+    assert env1["OPENBLAS_NUM_THREADS"] == "1"
+    ct = preferred_blas_coretype()
+    if ct is not None:
+        assert env1["OPENBLAS_CORETYPE"] in ("SKYLAKEX", "HASWELL")
+
+    UIEEngine(spark, {"subject entity": ["related fact"]})
+    sc_env = spark.sparkContext.environment
+    for k, v in env1.items():
+        assert sc_env.get(k) == v

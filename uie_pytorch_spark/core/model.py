@@ -143,6 +143,7 @@ class TinyUIE:
         sigmoid per-token start/end probabilities.
         """
         B, L = input_ids.shape
+        h = self.h
         # embedding sum built in place on the gather's fresh buffer
         # ((tok + pos) + seg, same grouping as the naive expression)
         x = self.tok_emb[input_ids]
@@ -150,26 +151,49 @@ class TinyUIE:
         x += self.seg_emb[token_type_ids]
 
         # additive key mask: 0 for real tokens, -1e9 for pads (exp -> 0.0)
-        # shape (B, 1, 1, L) broadcasting over heads and query positions
-        neg = np.where(
-            attention_mask[:, None, None, :] == 0, np.float32(-1e9), np.float32(0.0)
+        # single-head shape (B, 1, L) broadcasts over query positions;
+        # multi-head (B, 1, 1, L) additionally broadcasts over heads
+        one_head = self.heads == 1
+        mask_shape = (
+            attention_mask[:, None, :]
+            if one_head
+            else attention_mask[:, None, None, :]
         )
+        neg = np.where(mask_shape == 0, np.float32(-1e9), np.float32(0.0))
 
         inv_sqrt_dk = np.float32(1.0 / np.sqrt(self.dk))
+        # Every (B, L, h) @ (h, *) projection runs as ONE 2D GEMM over
+        # the flattened (B*L, h) rows: numpy's stacked matmul would
+        # issue B small per-slice GEMM calls instead. GEMM output rows
+        # are computed independently (the same row-independence the
+        # score-budget sub-batching in forward_bucketed relies on), so
+        # flattening only changes M, never the K-reduction order —
+        # bitwise-identical, verified in scripts/kernel_bench.py and
+        # pinned by the frozen goldens.
+        x2 = x.reshape(B * L, h)
         for blk in self.blocks:
-            q = x @ blk["wq"]
-            k = x @ blk["wk"]
-            v = x @ blk["wv"]
-            # (B, heads, L, dk)
-            def split(t):
-                return t.reshape(B, L, self.heads, self.dk).transpose(0, 2, 1, 3)
+            q = x2 @ blk["wq"]
+            k = x2 @ blk["wk"]
+            v = x2 @ blk["wv"]
+            if one_head:
+                # (B, L, dk): skip the heads axis and its transposes —
+                # scores @ v then lands directly in (B, L, h) layout
+                qh = q.reshape(B, L, h)
+                kh = k.reshape(B, L, h)
+                vh = v.reshape(B, L, h)
+                scores = qh @ kh.transpose(0, 2, 1)
+            else:
+                def split(t):
+                    return t.reshape(B, L, self.heads, self.dk).transpose(
+                        0, 2, 1, 3
+                    )
 
-            qh, kh, vh = split(q), split(k), split(v)
+                qh, kh, vh = split(q), split(k), split(v)
+                scores = qh @ kh.transpose(0, 1, 3, 2)
             # softmax computed IN PLACE — the (B, heads, L, L) score
             # tensor dominates memory traffic at L=512; fresh arrays
             # per step would double DRAM bandwidth, which is what caps
             # many-core scaling of this kernel
-            scores = qh @ kh.transpose(0, 1, 3, 2)
             scores *= inv_sqrt_dk
             scores += neg
             m = scores.max(axis=-1, keepdims=True)
@@ -177,22 +201,33 @@ class TinyUIE:
             np.exp(scores, out=scores)
             denom = scores.sum(axis=-1, keepdims=True)
             scores /= denom
-            ctx = (scores @ vh).transpose(0, 2, 1, 3).reshape(B, L, self.h)
+            if one_head:
+                ctx = (scores @ vh).reshape(B * L, h)
+            else:
+                ctx = (
+                    (scores @ vh)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(B * L, h)
+                )
             # residuals accumulate in place ON the fresh matmul output
             # (x + ctx@wo == ctx@wo + x, commutative-exact); _ln then
             # normalizes that buffer in place
             r = ctx @ blk["wo"]
-            r += x
-            x = self._ln(r, blk["ln1_g"], blk["ln1_b"])
-            ff = x @ blk["w1"]
+            r += x2
+            x2 = self._ln(r, blk["ln1_g"], blk["ln1_b"])
+            ff = x2 @ blk["w1"]
             ff += blk["b1"]
             ff = self._gelu(ff) @ blk["w2"]
             ff += blk["b2"]
-            ff += x
-            x = self._ln(ff, blk["ln2_g"], blk["ln2_b"])
+            ff += x2
+            x2 = self._ln(ff, blk["ln2_g"], blk["ln2_b"])
 
-        start_prob = _sigmoid(x @ self.w_start[:, 0] + self.b_start)
-        end_prob = _sigmoid(x @ self.w_end[:, 0] + self.b_end)
+        start_prob = _sigmoid(
+            (x2 @ self.w_start[:, 0]).reshape(B, L) + self.b_start
+        )
+        end_prob = _sigmoid(
+            (x2 @ self.w_end[:, 0]).reshape(B, L) + self.b_end
+        )
         # the reference never masks pad positions (its trailing-pad trim
         # at uie_predictor.py:501-504 is dead code); we zero them on BOTH
         # the Spark and oracle sides — documented symmetric deviation

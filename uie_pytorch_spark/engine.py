@@ -230,6 +230,20 @@ class UIEEngine:
         # tick as inference tasks run — zero-cost observability of the
         # dominant stage; approximate under task retries.
         sc = spark.sparkContext
+        # kernel-determinism + speed: Python workers must load OpenBLAS
+        # with one thread and the pinned kernel family (core.blas_env_vars)
+        # no matter WHO built the SparkSession (an external harness's
+        # session won't have gone through our session.get_spark).
+        # sc.environment is captured into the Python function's envVars
+        # when mapInArrow is invoked, and worker daemons are keyed by
+        # those envVars — so mutating it here, BEFORE extract() builds
+        # the inference UDF, guarantees fresh workers see the vars
+        # before their first numpy import. setdefault semantics: an
+        # explicitly configured environment wins.
+        from .core import blas_env_vars
+
+        for _k, _v in blas_env_vars().items():
+            sc.environment.setdefault(_k, _v)
         self.acc_infer_rows = sc.accumulator(0)
         self.acc_spans_out = sc.accumulator(0)
         self._infer_udf = _make_infer_udf(

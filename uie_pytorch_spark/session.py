@@ -24,8 +24,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ.setdefault(var, "1")
+    # thread pins + deterministic OpenBLAS kernel family, set BEFORE
+    # the JVM launches so python worker daemons inherit them (the
+    # engine additionally injects the same vars into sc.environment
+    # for sessions built elsewhere).
+    from .core import blas_env_vars
+
+    for var, val in blas_env_vars().items():
+        os.environ.setdefault(var, val)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
