@@ -40,6 +40,10 @@ from .tokenizer import VOCAB_SIZE
 
 DEFAULT_SEED = 20240816
 PAD_BUCKET = 32
+# forward_bucketed sub-batch cap: rows * L^2 score elements per call
+# (~2 MB of f32 scores). Splits are along the GEMM M dimension only,
+# so the value is a pure speed knob — it can never change outputs.
+SCORE_BUDGET = 500_000
 
 
 class TinyUIE:
@@ -272,8 +276,9 @@ def forward_bucketed(
     # ~2 MB of f32 scores per sub-batch: keeps the softmax element-wise
     # passes in per-core cache instead of streaming DRAM — measured to
     # be the difference between ~0.5 and ~0.8 scaling efficiency at
-    # 8 -> 32 concurrent workers on one box
-    score_budget = 500_000  # rows * L^2 elements
+    # 8 -> 32 concurrent workers on one box (re-validated after the
+    # round-6 kernel pin: 500k still wins at full concurrency)
+    score_budget = SCORE_BUDGET  # rows * L^2 elements
     for bl in np.unique(buckets):
         idx = np.nonzero(buckets == bl)[0]
         n = min(int(bl), L)
